@@ -1,0 +1,202 @@
+"""Pure-NumPy golden reference of the seq2seq model semantics.
+
+This module re-derives, in plain NumPy, the exact inference math of the
+reference Keras model (ocrd_cor_asv_ann/lib/seq2seq.py:190-489 `configure`,
+lib/attention.py:440-621 `DenseAnnotationAttention`):
+
+- Keras LSTM cell: gate order (i, f, c~, o), ``recurrent_activation=sigmoid``,
+  ``activation=tanh``:  z = x.K + h.R + b;  c = sig(z_f)*c + sig(z_i)*tanh(z_c);
+  h = sig(z_o)*tanh(c)
+- bidirectional first encoder layer whose *backward* final states initialize
+  the decoder (seq2seq.py:277-281),
+- additive attention with the state-independent half precomputed
+  (u = enc_out.A), energies e = exp(tanh(h.W_a + b_UW + u).v_a + b_v), and the
+  "local attention hack": positions with |t0 - i| > window_width are masked,
+  where t0 = prev_alignment.arange + 1 (attention.py:544-569),
+- weight-tied output projection softmax(h.E^T) (seq2seq.py:369-382),
+- greedy batch decoding with the full softmax distribution fed back as the
+  next decoder input (seq2seq.py:1215-1286).
+
+It serves two purposes:
+1. a *parity oracle* for the JAX/TPU implementation (same params in, the
+   decoded bytes must match),
+2. the benchmark *baseline denominator*: its per-character host-loop decode
+   reproduces the reference's performance structure (one host round trip per
+   character, seq2seq.py:1243-1246) without needing TF1.
+
+No code is copied from the reference; everything is re-derived from the
+documented layer semantics.
+"""
+
+import numpy as np
+
+
+def sigmoid(x):
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+def lstm_step(x, h, c, kernel, recurrent_kernel, bias):
+    """One Keras-semantics LSTM step. Returns (h_new, c_new)."""
+    z = x @ kernel + h @ recurrent_kernel + bias
+    n = z.shape[-1] // 4
+    i = sigmoid(z[..., :n])
+    f = sigmoid(z[..., n:2 * n])
+    g = np.tanh(z[..., 2 * n:3 * n])
+    o = sigmoid(z[..., 3 * n:])
+    c_new = f * c + i * g
+    h_new = o * np.tanh(c_new)
+    return h_new, c_new
+
+
+def lstm_seq(xs, w, h0=None, c0=None, reverse=False):
+    """Run an LSTM over (B, T, D) inputs. Returns (outputs(B,T,N), h, c)."""
+    B, T, _ = xs.shape
+    N = w['recurrent_kernel'].shape[0]
+    h = np.zeros((B, N), xs.dtype) if h0 is None else h0
+    c = np.zeros((B, N), xs.dtype) if c0 is None else c0
+    out = np.zeros((B, T, N), xs.dtype)
+    steps = range(T - 1, -1, -1) if reverse else range(T)
+    for t in steps:
+        h, c = lstm_step(xs[:, t], h, c, w['kernel'],
+                         w['recurrent_kernel'], w['bias'])
+        out[:, t] = h
+    return out, h, c
+
+
+def cross_sum(x):
+    """fw/bw cross-summary between deep-bidirectional encoder layers:
+    x + flip over the (width, 2) sub-axes (seq2seq.py:246-259)."""
+    shape = x.shape
+    y = x.reshape(shape[:-1] + (shape[-1] // 2, 2))[..., ::-1]
+    return x + y.reshape(shape)
+
+
+def encode(params, config, enc_input):
+    """Run the encoder. Returns (enc_output(B,T,A), init_states, u(B,T,W)).
+
+    `init_states` is a list of (h, c) per decoder layer plus the zero
+    initial attention state appended last (a vector of length T per line).
+    """
+    depth = config['depth']
+    deep_bidir = config.get('deep_bidirectional_encoder', False)
+    residual = config.get('residual_connections', False)
+    x = enc_input @ params['char_embedding']['kernel']
+    states = []
+    out = x
+    for n in range(depth):
+        lw = params['encoder'][n]
+        if n == 0 or deep_bidir:
+            inp = out if n == 0 else cross_sum(out)
+            fw_out, fw_h, fw_c = lstm_seq(inp, lw['fw'])
+            bw_out, bw_h, bw_c = lstm_seq(inp, lw['bw'], reverse=True)
+            out = np.concatenate([fw_out, bw_out], axis=-1)
+            h, c = bw_h, bw_c  # backward final states init the decoder
+        else:
+            out2, h, c = lstm_seq(out, lw)
+            if residual and n >= 2:
+                out = out2 + out
+            else:
+                out = out2
+        if config.get('bridge_dense', False):
+            bw_ = params['bridge'][n]
+            h = np.tanh(h @ bw_['h']['kernel'] + bw_['h']['bias'])
+            c = np.tanh(c @ bw_['c']['kernel'] + bw_['c']['bias'])
+        states.append((h, c))
+    u = out @ params['attention_dense']['kernel']
+    attn0 = np.zeros(out.shape[:2], out.dtype)
+    return out, states, attn0, u
+
+
+def attention_step(params_top, h_prev, prev_a, attended, u, window_width=5):
+    """Local additive attention. Returns (context(B,A), alignment(B,T))."""
+    B, T, _ = attended.shape
+    w = h_prev @ params_top['W_a'] + params_top['b_UW']          # (B, W)
+    e = np.exp(np.tanh(w[:, None, :] + u) @ params_top['v_a']
+               + params_top['b_v'])                               # (B, T, 1)
+    e = e[..., 0]
+    if window_width and window_width > 0:
+        steps = np.arange(T, dtype=attended.dtype)
+        t0 = prev_a @ steps + 1.0                                 # (B,)
+        visible = np.abs(t0[:, None] - steps[None, :]) <= window_width
+        e = e * visible
+    a = e / np.sum(e, axis=1, keepdims=True)
+    ctx = np.einsum('bt,bta->ba', a, attended)
+    return ctx, a
+
+
+def decoder_step(params, config, dec_input, states, attended, u):
+    """One decoder step over all layers.
+
+    `dec_input` (B, V) is the previous softmax distribution (or one-hot);
+    `states` = ([(h, c)] * depth, alignment). Returns (probs, new_states,
+    alignment).
+    """
+    depth = config['depth']
+    residual = config.get('residual_connections', False)
+    layer_states, prev_a = states
+    x = dec_input @ params['char_embedding']['kernel']
+    new_states = []
+    out = x
+    for n in range(depth - 1):
+        lw = params['decoder'][n]
+        h, c = layer_states[n]
+        h, c = lstm_step(out, h, c, lw['kernel'], lw['recurrent_kernel'],
+                         lw['bias'])
+        new_states.append((h, c))
+        if residual and n > 0:
+            out = h + out
+        else:
+            out = h
+    top = params['decoder'][depth - 1]
+    h, c = layer_states[depth - 1]
+    ctx, a = attention_step(top, h, prev_a, attended, u,
+                            config.get('window_width', 5))
+    cell_in = np.concatenate([out, ctx], axis=-1)
+    h, c = lstm_step(cell_in, h, c, top['cell']['kernel'],
+                     top['cell']['recurrent_kernel'], top['cell']['bias'])
+    new_states.append((h, c))
+    if residual and depth > 1:
+        out = h + out
+    else:
+        out = h
+    logits = out @ params['char_embedding']['kernel'].T
+    logits = logits - logits.max(axis=-1, keepdims=True)
+    ez = np.exp(logits)
+    probs = ez / ez.sum(axis=-1, keepdims=True)
+    return probs, (new_states, a), a
+
+
+def decode_batch_greedy(params, config, mapping, enc_input, max_steps=None):
+    """Greedy batch decoding with softmax feedback (host loop per character).
+
+    Mirrors reference decode_batch_greedy (seq2seq.py:1215-1286): argmax
+    excludes index 0, per-line termination on newline, score = mean -log p.
+    Returns (texts, probs, scores, alignments).
+    """
+    B, T, V = enc_input.shape
+    attended, states, attn0, u = encode(params, config, enc_input)
+    layer_states = list(states)
+    dec_state = (layer_states, attn0)
+    feedback = np.zeros((B, V), dtype=enc_input.dtype)
+    texts = [''] * B
+    probs = [[] for _ in range(B)]
+    scores = np.zeros(B)
+    aligns = [[] for _ in range(B)]
+    live = np.any(enc_input.reshape(B, -1), axis=1)
+    steps = max_steps or T * 2
+    for _ in range(steps):
+        p, dec_state, a = decoder_step(params, config, feedback, dec_state,
+                                       attended, u)
+        idx = np.argmax(p[:, 1:], axis=1) + 1
+        feedback = p  # soft/confidence input
+        for j in range(B):
+            if not live[j] or texts[j].endswith('\n'):
+                continue
+            texts[j] += mapping.i2c[int(idx[j])]
+            probs[j].append(float(p[j, idx[j]]))
+            scores[j] += -np.log(p[j, idx[j]])
+            aligns[j].append(a[j].copy())
+        if all((not live[j]) or texts[j].endswith('\n') for j in range(B)):
+            break
+    lengths = np.array([max(len(t), 1) for t in texts])
+    return texts, probs, (scores / lengths).tolist(), aligns

@@ -1,0 +1,293 @@
+"""Functional JAX seq2seq core: encoder, decoder, on-device greedy decode.
+
+TPU-first re-architecture of the reference Keras graphs
+(lib/seq2seq.py:190-489): the same math — stacked (bi)LSTM encoder, forward
+LSTM decoder with local additive attention on top, weight-tied softmax
+output — but expressed as pure jitted functions with static shapes:
+
+- the encoder is `lax.scan` per layer with the input projection hoisted
+  into one large MXU matmul (ops/lstm.py),
+- greedy decoding runs *entirely on device* in a `lax.while_loop` feeding
+  the full softmax distribution back as the next input — the reference's
+  one-Python-round-trip-per-character hot loop (seq2seq.py:1243-1246)
+  becomes one XLA program per length bucket,
+- training uses the same decoder as a teacher-forced scan.
+
+All functions take (params, arrays) and close over the static config.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.lstm import lstm_scan, lstm_step, gate_math
+from ..ops.attention import attention_step
+from .config import Seq2SeqConfig
+
+
+def cross_sum(x):
+    """Deep-bidirectional fw/bw cross-summary (seq2seq.py:246-259)."""
+    shape = x.shape
+    y = jnp.flip(x.reshape(shape[:-1] + (shape[-1] // 2, 2)), axis=-1)
+    return x + y.reshape(shape)
+
+
+def encode(params, config: Seq2SeqConfig, enc_input, dropout_rng=None,
+           train=False):
+    """Run the encoder over (B, T, V) input.
+
+    Returns (attended (B,T,A), [(h,c)] per decoder layer, u (B,T,W)).
+    Padding runs through the recurrence unmasked, like the reference
+    (zero-vector timesteps, no Keras mask — seq2seq.py:1026-1043).
+    """
+    depth, deep = config.depth, config.deep_bidirectional_encoder
+    x = jnp.dot(enc_input, params['char_embedding']['kernel'],
+                preferred_element_type=jnp.float32)
+    out = x
+    states = []
+    for n in range(depth):
+        lw = params['encoder'][n]
+        if n == 0 or deep:
+            inp = out if n == 0 else cross_sum(out)
+            fw_out, _fh, _fc = lstm_scan(inp, lw['fw'])
+            bw_out, h, c = lstm_scan(inp, lw['bw'], reverse=True)
+            out2 = jnp.concatenate([fw_out, bw_out], axis=-1)
+            out = out2
+        else:
+            out2, h, c = lstm_scan(out, lw)
+            if config.residual_connections and n >= 2:
+                out = out2 + out
+            else:
+                out = out2
+        if train and config.dropout > 0 and dropout_rng is not None:
+            # variational (time-constant) dropout on HL outputs
+            # (seq2seq.py:296-298: noise_shape=(1, dim), shared over batch
+            #  and time; we share over time only, per sample)
+            dropout_rng, sub = jax.random.split(dropout_rng)
+            keep = jax.random.bernoulli(
+                sub, 1.0 - config.dropout, (out.shape[0], 1, out.shape[2]))
+            out = jnp.where(keep, out / (1.0 - config.dropout), 0.0)
+        if config.bridge_dense:
+            bw_ = params['bridge'][n]
+            h = jnp.tanh(jnp.dot(h, bw_['h']['kernel']) + bw_['h']['bias'])
+            c = jnp.tanh(jnp.dot(c, bw_['c']['kernel']) + bw_['c']['bias'])
+        states.append((h, c))
+    u = jnp.dot(out, params['attention_dense']['kernel'],
+                preferred_element_type=jnp.float32)
+    return out, states, u
+
+
+def _output_probs(params, h):
+    """Weight-tied softmax output projection (seq2seq.py:369-382)."""
+    logits = jnp.dot(h, params['char_embedding']['kernel'].T,
+                     preferred_element_type=jnp.float32)
+    return jax.nn.softmax(logits, axis=-1)
+
+
+def decoder_step(params, config: Seq2SeqConfig, feedback, states, attended,
+                 u, input_dropout_masks=None):
+    """One decoder step for all layers.
+
+    feedback (B, V): previous softmax output (or one-hot teacher input);
+    states: ([(h, c)] * depth, prev_alignment (B, T)).
+    Returns (probs (B, V), new_states, alignment (B, T)).
+    """
+    depth = config.depth
+    layer_states, prev_a = states
+    x = jnp.dot(feedback, params['char_embedding']['kernel'],
+                preferred_element_type=jnp.float32)
+    new_states = []
+    out = x
+    for n in range(depth - 1):
+        lw = params['decoder'][n]
+        h, c = lstm_step(out, *layer_states[n], lw)
+        new_states.append((h, c))
+        if config.residual_connections and n > 0:
+            out = h + out
+        else:
+            out = h
+    top = params['decoder'][depth - 1]
+    h_prev, c_prev = layer_states[depth - 1]
+    ctx, a = attention_step(top['W_a'], top['v_a'], top['b_UW'], top['b_v'],
+                            h_prev, prev_a, attended, u,
+                            config.window_width)
+    cell_in = jnp.concatenate([out, ctx], axis=-1)
+    if input_dropout_masks is not None:
+        # Keras LSTMCell input dropout: 4 masks, one per gate, constant
+        # over the sequence (training only)
+        W = config.width
+        ks = [jnp.dot(cell_in * input_dropout_masks[g],
+                      top['cell']['kernel'][:, g * W:(g + 1) * W],
+                      preferred_element_type=jnp.float32)
+              for g in range(4)]
+        z = jnp.concatenate(ks, axis=-1) \
+            + jnp.dot(h_prev, top['cell']['recurrent_kernel'],
+                      preferred_element_type=jnp.float32) \
+            + top['cell']['bias']
+        h, c = gate_math(z, c_prev)
+    else:
+        h, c = lstm_step(cell_in, h_prev, c_prev, top['cell'])
+    new_states.append((h, c))
+    if config.residual_connections and depth > 1:
+        out = h + out
+    else:
+        out = h
+    return _output_probs(params, out), (new_states, a), a
+
+
+def forward_teacher(params, config: Seq2SeqConfig, enc_input, dec_input,
+                    dropout_rng=None, train=False, lm=False):
+    """Teacher-forced forward pass for training/evaluation.
+
+    Returns probs (B, Td, V); with `lm`, a second unconditioned pass with
+    tied weights on zeroed attention constants (reference lm_loss,
+    seq2seq.py:321-322, 340-341, 355-356) returns (probs, lm_probs).
+    """
+    attended, states, u = encode(params, config, enc_input, dropout_rng,
+                                 train)
+    B, T, _ = enc_input.shape
+    probs = _decode_teacher(params, config, dec_input, states, attended, u,
+                            dropout_rng, train)
+    if not lm:
+        return probs
+    zero_states = [(jnp.zeros_like(h), jnp.zeros_like(c))
+                   for h, c in states]
+    lm_probs = _decode_teacher(params, config, dec_input, zero_states,
+                               jnp.zeros_like(attended), jnp.zeros_like(u),
+                               dropout_rng, train)
+    return probs, lm_probs
+
+
+def _decode_teacher(params, config, dec_input, states, attended, u,
+                    dropout_rng=None, train=False):
+    depth = config.depth
+    B, Td, V = dec_input.shape
+    x = jnp.dot(dec_input, params['char_embedding']['kernel'],
+                preferred_element_type=jnp.float32)
+    out = x
+    # plain lower decoder layers: full scan with hoisted input projection
+    for n in range(depth - 1):
+        lw = params['decoder'][n]
+        h0, c0 = states[n]
+        out2, _, _ = lstm_scan(out, lw, h0, c0)
+        if config.residual_connections and n > 0:
+            out = out2 + out
+        else:
+            out = out2
+        if train and config.dropout > 0 and dropout_rng is not None:
+            dropout_rng, sub = jax.random.split(dropout_rng)
+            keep = jax.random.bernoulli(
+                sub, 1.0 - config.dropout, (B, 1, out.shape[2]))
+            out = jnp.where(keep, out / (1.0 - config.dropout), 0.0)
+    # top layer: per-step attention inside a scan
+    top = params['decoder'][depth - 1]
+    W = config.width
+    h0, c0 = states[depth - 1]
+    a0 = jnp.zeros(attended.shape[:2], attended.dtype)
+    if train and config.dropout > 0 and dropout_rng is not None:
+        dropout_rng, sub = jax.random.split(dropout_rng)
+        in_dim = W + config.attended_size
+        masks = jax.random.bernoulli(
+            sub, 1.0 - config.dropout, (4, B, in_dim)) / (1.0 - config.dropout)
+    else:
+        masks = None
+
+    def body(carry, x_t):
+        h, c, a = carry
+        ctx, a_new = attention_step(top['W_a'], top['v_a'], top['b_UW'],
+                                    top['b_v'], h, a, attended, u,
+                                    config.window_width)
+        cell_in = jnp.concatenate([x_t, ctx], axis=-1)
+        if masks is not None:
+            ks = [jnp.dot(cell_in * masks[g],
+                          top['cell']['kernel'][:, g * W:(g + 1) * W],
+                          preferred_element_type=jnp.float32)
+                  for g in range(4)]
+            z = jnp.concatenate(ks, axis=-1) \
+                + jnp.dot(h, top['cell']['recurrent_kernel'],
+                          preferred_element_type=jnp.float32) \
+                + top['cell']['bias']
+        else:
+            z = jnp.dot(cell_in, top['cell']['kernel'],
+                        preferred_element_type=jnp.float32) \
+                + jnp.dot(h, top['cell']['recurrent_kernel'],
+                          preferred_element_type=jnp.float32) \
+                + top['cell']['bias']
+        h_new, c_new = gate_math(z, c)
+        return (h_new, c_new, a_new), h_new
+
+    xs = jnp.swapaxes(out, 0, 1)
+    _, hs = jax.lax.scan(body, (h0, c0, a0), xs)
+    out2 = jnp.swapaxes(hs, 0, 1)
+    if config.residual_connections and depth > 1:
+        out = out2 + out
+    else:
+        out = out2
+    return _output_probs(params, out)
+
+
+@functools.partial(jax.jit, static_argnames=('config', 'max_steps',
+                                             'return_alignments'))
+def decode_greedy(params, config: Seq2SeqConfig, enc_input, newline_idx,
+                  max_steps=None, return_alignments=False):
+    """Fully on-device greedy batch decode with softmax feedback.
+
+    Faithful to reference decode_batch_greedy (seq2seq.py:1215-1286):
+    argmax excludes index 0 (underspecification), per-line termination on
+    newline, the raw softmax distribution is the next decoder input, score
+    accumulates -log p of the chosen characters. Runs a `lax.while_loop`
+    with early exit when every line is finished.
+
+    Returns (indices (B,S) int32, probs (B,S), lengths (B,), scores (B,),
+    alignments (B,S,T) or None).
+    """
+    B, T, V = enc_input.shape
+    S = max_steps or 2 * T
+    attended, states, u = encode(params, config, enc_input)
+    a0 = jnp.zeros((B, T), attended.dtype)
+    live0 = jnp.any(enc_input.reshape(B, -1) != 0, axis=1)
+
+    state0 = dict(
+        t=jnp.array(0, jnp.int32),
+        feedback=jnp.zeros((B, V), attended.dtype),
+        layers=tuple(states),
+        align=a0,
+        done=~live0,
+        out_idx=jnp.zeros((B, S), jnp.int32),
+        out_prob=jnp.zeros((B, S), attended.dtype),
+        length=jnp.zeros((B,), jnp.int32),
+        score=jnp.zeros((B,), attended.dtype),
+        out_align=(jnp.zeros((B, S, T), attended.dtype)
+                   if return_alignments else jnp.zeros((0,), attended.dtype)),
+    )
+
+    def cond(s):
+        return (s['t'] < S) & ~jnp.all(s['done'])
+
+    def body(s):
+        probs, (layers, a), _ = decoder_step(
+            params, config, s['feedback'], (list(s['layers']), s['align']),
+            attended, u)
+        idx = jnp.argmax(probs[:, 1:], axis=1).astype(jnp.int32) + 1
+        p = jnp.take_along_axis(probs, idx[:, None], axis=1)[:, 0]
+        active = ~s['done']
+        t = s['t']
+        out_idx = s['out_idx'].at[:, t].set(jnp.where(active, idx, 0))
+        out_prob = s['out_prob'].at[:, t].set(jnp.where(active, p, 0.0))
+        length = s['length'] + active.astype(jnp.int32)
+        score = s['score'] + jnp.where(active, -jnp.log(p), 0.0)
+        done = s['done'] | (idx == newline_idx)
+        out_align = s['out_align']
+        if return_alignments:
+            out_align = out_align.at[:, t, :].set(
+                jnp.where(active[:, None], a, 0.0))
+        return dict(t=t + 1, feedback=probs, layers=tuple(layers), align=a,
+                    done=done, out_idx=out_idx, out_prob=out_prob,
+                    length=length, score=score, out_align=out_align)
+
+    s = jax.lax.while_loop(cond, body, state0)
+    lengths = jnp.maximum(s['length'], 1)
+    return (s['out_idx'], s['out_prob'], s['length'],
+            s['score'] / lengths,
+            s['out_align'] if return_alignments else None)

@@ -1,0 +1,40 @@
+"""Local monotonic additive attention (Bahdanau with windowing).
+
+Re-derivation of reference DenseAnnotationAttention
+(lib/attention.py:440-621): the state-independent half of the additive
+energy, u = enc_out @ A, is precomputed once per line; per decoder step the
+energies are
+
+    e_i = exp( tanh(h_prev @ W_a + b_UW + u_i) @ v_a + b_v )
+
+masked to the local window |t0 - i| <= window_width around the expected
+source position t0 = prev_alignment . arange + 1 ("local attention hack",
+attention.py:544-569), normalized into the alignment vector a which is both
+the context weighting and the attention state carried to the next step.
+"""
+
+import jax.numpy as jnp
+
+
+def attention_step(W_a, v_a, b_UW, b_v, h_prev, prev_a, attended, u,
+                   window_width=5):
+    """One attention step.
+
+    h_prev (B, W): previous top-cell hidden state; prev_a (B, T): previous
+    alignment; attended (B, T, A); u (B, T, W) precomputed projection.
+    Returns (context (B, A), alignment (B, T)).
+    """
+    T = attended.shape[1]
+    w = jnp.dot(h_prev, W_a, preferred_element_type=jnp.float32) + b_UW
+    e = jnp.exp(
+        jnp.dot(jnp.tanh(w[:, None, :] + u), v_a,
+                preferred_element_type=jnp.float32) + b_v)[..., 0]  # (B, T)
+    if window_width and window_width > 0:
+        steps = jnp.arange(T, dtype=e.dtype)
+        t0 = jnp.dot(prev_a, steps, preferred_element_type=jnp.float32) + 1.0
+        visible = jnp.abs(t0[:, None] - steps[None, :]) <= window_width
+        e = e * visible
+    a = e / jnp.sum(e, axis=1, keepdims=True)
+    ctx = jnp.einsum('bt,bta->ba', a, attended,
+                     preferred_element_type=jnp.float32)
+    return ctx, a

@@ -1,0 +1,62 @@
+"""LSTM ops for TPU: scan-based sequence LSTM with hoisted input projection.
+
+Keras cell semantics (gate order i, f, c~, o; sigmoid recurrent activation,
+tanh activation) so reference HDF5 weights are directly usable
+(reference lib/seq2seq.py:216-232 auto-selects CuDNNLSTM/LSTM with exactly
+these semantics; weights are interchangeable across the two).
+
+TPU-first structure: the input projection ``x @ kernel`` for a whole
+sequence is one large MXU matmul hoisted out of the recurrence; the
+``lax.scan`` body then only contains the (W x 4W) recurrent matmul and the
+element-wise gate math, which XLA fuses into a single loop step.
+"""
+
+import jax
+import jax.numpy as jnp
+
+
+def gate_math(z, c_prev):
+    """Apply Keras LSTM gate nonlinearities to preactivations z (..., 4N)."""
+    n = z.shape[-1] // 4
+    i = jax.nn.sigmoid(z[..., :n])
+    f = jax.nn.sigmoid(z[..., n:2 * n])
+    g = jnp.tanh(z[..., 2 * n:3 * n])
+    o = jax.nn.sigmoid(z[..., 3 * n:])
+    c = f * c_prev + i * g
+    h = o * jnp.tanh(c)
+    return h, c
+
+
+def lstm_step(x, h, c, w):
+    """Single LSTM step: x (B, D), h/c (B, N). Returns (h, c)."""
+    z = (jnp.dot(x, w['kernel'], preferred_element_type=jnp.float32)
+         + jnp.dot(h, w['recurrent_kernel'],
+                   preferred_element_type=jnp.float32)
+         + w['bias'])
+    return gate_math(z, c)
+
+
+def lstm_scan(xs, w, h0=None, c0=None, reverse=False):
+    """Run an LSTM over xs (B, T, D). Returns (outputs (B, T, N), h, c).
+
+    The input projection runs as one batched matmul over all timesteps;
+    the scan carries (h, c) and consumes precomputed preactivations.
+    """
+    B, T, _ = xs.shape
+    N = w['recurrent_kernel'].shape[0]
+    dtype = xs.dtype
+    h = jnp.zeros((B, N), dtype) if h0 is None else h0
+    c = jnp.zeros((B, N), dtype) if c0 is None else c0
+    zx = jnp.dot(xs, w['kernel'], preferred_element_type=jnp.float32) \
+        + w['bias']
+    rk = w['recurrent_kernel']
+
+    def body(carry, z_t):
+        h, c = carry
+        z = z_t + jnp.dot(h, rk, preferred_element_type=jnp.float32)
+        h, c = gate_math(z, c)
+        return (h, c), h
+
+    zx_t = jnp.swapaxes(zx, 0, 1)  # (T, B, 4N) scan over time
+    (h, c), out = jax.lax.scan(body, (h, c), zx_t, reverse=reverse)
+    return jnp.swapaxes(out, 0, 1), h, c

@@ -1,0 +1,298 @@
+"""Charset mapping, line readers and vectorization (host-side data core).
+
+Re-derivation of the reference data pipeline (lib/seq2seq.py:555-588 map_files,
+:919-1018 gen_lines, :1020-1119 vectorize_lines) with one TPU-first change:
+padded lengths are *bucketed* to a small set of static shapes so XLA compiles
+each bucket once, instead of padding to the longest line of every batch
+(dynamic shapes would trigger one compilation per batch on TPU).
+
+Semantics preserved:
+- char<->index mapping with index 0 reserved for the unknown/underspecified
+  character '' and newline acting as end-of-sequence,
+- the GAP character '\\a' is reserved and never mapped,
+- true-zero timestep = encoder padding and decoder start symbol,
+- decoder teacher forcing offset by one step, sample weights zero on padding,
+- three pickle source formats: plain string, per-char (char, prob) tuples and
+  full confusion networks ("confmat": list of chunks, each a list of
+  (string, prob) alternatives),
+- train/validation split by a shared random vector with ratio 0.2,
+- NFC normalization and optional charmap translation before mapping.
+"""
+
+import pickle
+import unicodedata
+
+import numpy as np
+
+GAP = '\a'
+
+# Static length buckets (encoder timesteps). OCR lines are tens to a few
+# hundred characters; each bucket is a separate XLA compilation.
+LENGTH_BUCKETS = (32, 64, 96, 128, 192, 256, 384, 512, 768, 1024)
+
+
+def bucket_length(n, buckets=LENGTH_BUCKETS):
+    """Smallest bucket >= n (or round up to a multiple of the largest)."""
+    for b in buckets:
+        if n <= b:
+            return b
+    # beyond the largest bucket: round up to a multiple of it
+    top = buckets[-1]
+    return ((n + top - 1) // top) * top
+
+
+class CharMapping:
+    """Bidirectional character<->index mapping with index 0 = unknown ''."""
+
+    def __init__(self, chars=()):
+        # index 0 is always the empty (underspecified) character
+        chars = sorted(set(chars) - {'', GAP})
+        self.c2i = {'': 0}
+        self.i2c = {0: ''}
+        for c in chars:
+            i = len(self.c2i)
+            self.c2i[c] = i
+            self.i2c[i] = c
+
+    @property
+    def voc_size(self):
+        return len(self.c2i)
+
+    def __len__(self):
+        return len(self.c2i)
+
+    def __contains__(self, char):
+        return char in self.c2i
+
+    def get(self, char, default=0):
+        return self.c2i.get(char, default)
+
+    def to_codepoints(self):
+        """uint32 codepoint array for the HDF5 ``config/mapping`` dataset
+        (reference lib/seq2seq.py:1138-1141: 0 stands for the '' entry)."""
+        return np.fromiter(
+            (ord(self.i2c[i]) if self.i2c.get(i) else 0
+             for i in range(self.voc_size)),
+            dtype=np.uint32)
+
+    @classmethod
+    def from_codepoints(cls, codes):
+        m = cls()
+        for i, c in enumerate(np.asarray(codes).tolist()):
+            if i == 0 and not c:
+                continue
+            ch = chr(c) if c > 0 else ''
+            if ch == '':
+                continue
+            m.c2i[ch] = i
+            m.i2c[i] = ch
+        return m
+
+    @classmethod
+    def from_texts(cls, texts):
+        chars = set()
+        for t in texts:
+            chars.update(t)
+        return cls(chars)
+
+    def grow(self, texts):
+        """Return a new mapping including all chars of `texts` (sorted afresh,
+        like the reference's incremental map_files) and whether it grew."""
+        chars = set(self.c2i) - {''}
+        before = len(chars)
+        for t in texts:
+            chars.update(t)
+        chars.discard(GAP)
+        chars.discard('')
+        if len(chars) == before:
+            return self, False
+        return CharMapping(chars), True
+
+
+def _iter_file_lines(filename, unsupervised=False, charmap=None):
+    """Yield (source_text, source_conf_or_None, target_text) per line.
+
+    Handles .pkl pickle files (prob lines / confmats) and plain text or
+    TSV files, mirroring reference gen_lines (lib/seq2seq.py:936-979).
+    """
+    with_confidence = filename.endswith('.pkl')
+    if with_confidence:
+        with open(filename, 'rb') as f:
+            entries = pickle.load(f)
+    else:
+        entries = open(filename, 'r', encoding='utf-8')
+    try:
+        for line in entries:
+            source_conf = None
+            if with_confidence:
+                source_text, target_text = line
+                if not source_text:
+                    source_text, source_conf = '', []
+                elif isinstance(source_text[0], tuple):  # prob line
+                    chars, probs = zip(*source_text)
+                    source_text, source_conf = ''.join(chars), list(probs)
+                else:  # confmat
+                    source_conf = source_text
+                    source_text = ''.join(
+                        chunk[0][0] if chunk else '' for chunk in source_conf)
+                if not source_text.endswith('\n'):
+                    source_conf = [[('\n', 1.0)]]
+                    source_text = '\n'
+            elif unsupervised and '\t' not in line:
+                source_text = target_text = line
+            else:
+                source_text, target_text = line.split('\t')
+                source_text = source_text + '\n'
+            if unsupervised:
+                target_text = source_text
+            if charmap:
+                source_text = source_text.translate(charmap)
+                target_text = target_text.translate(charmap)
+            source_text = unicodedata.normalize('NFC', source_text)
+            target_text = unicodedata.normalize('NFC', target_text)
+            yield source_text, source_conf, target_text
+    finally:
+        if not with_confidence:
+            entries.close()
+
+
+def scan_files(filenames, charmap=None):
+    """Collect the character inventory and line count over all files
+    (reference map_files, lib/seq2seq.py:555-588)."""
+    chars = set()
+    num_lines = 0
+    if charmap:
+        charmap = str.maketrans(charmap)
+    for filename in filenames:
+        for src, _conf, tgt in _iter_file_lines(filename, charmap=charmap):
+            chars.update(src)
+            chars.update(tgt)
+            num_lines += 1
+    chars.discard(GAP)
+    return chars, num_lines
+
+
+def gen_line_batches(filenames, batch_size, repeat=False, split=None,
+                     train=False, unsupervised=False, charmap=None,
+                     is_bad=None):
+    """Generate (sources, confs_or_None, targets, filenames) batches.
+
+    `split` is a shared random vector over line numbers; lines whose value
+    is below 0.2 belong to validation (train=False keeps them, train=True
+    skips them) — reference lib/seq2seq.py:944-948.
+    `is_bad(source, target) -> bool` filters badly aligned training pairs.
+    When `repeat`, yields None at each epoch end (epoch marker); otherwise a
+    final partial batch is padded with empty lines, like the reference.
+    """
+    split_ratio = 0.2
+    if charmap:
+        charmap = str.maketrans(charmap)
+    epoch = 0
+    while True:
+        srcs, confs, tgts, names = [], [], [], []
+        any_conf = False
+        for filename in filenames:
+            for line_no, (src, conf, tgt) in enumerate(
+                    _iter_file_lines(filename, unsupervised, charmap)):
+                if (isinstance(split, np.ndarray)
+                        and (split[line_no] < split_ratio) == train):
+                    continue
+                if train and is_bad is not None and is_bad(src, tgt):
+                    continue
+                srcs.append(src)
+                tgts.append(tgt)
+                confs.append(conf)
+                any_conf = any_conf or conf is not None
+                names.append(filename)
+                if len(srcs) == batch_size:
+                    yield (srcs, confs if any_conf else None, tgts, names)
+                    srcs, confs, tgts, names = [], [], [], []
+                    any_conf = False
+        epoch += 1
+        if repeat:
+            yield None  # epoch marker (autosized training loop protocol)
+        else:
+            if srcs:
+                pad = batch_size - len(srcs)
+                srcs.extend([''] * pad)
+                tgts.extend([''] * pad)
+                confs.extend([[] if any_conf else None] * pad)
+                names.extend([None] * pad)
+                yield (srcs, confs if any_conf else None, tgts, names)
+            return
+
+
+def vectorize_lines(mapping, sources, targets, confs=None,
+                    pad_encoder=None, pad_decoder=None, bucketed=True,
+                    logger=None):
+    """Convert line batches into dense (B, T, V) arrays.
+
+    Faithful to reference vectorize_lines (lib/seq2seq.py:1020-1119):
+    - encoder input: one-hot (or probability) vectors, zero rows = padding,
+    - unmapped characters (except GAP) map to index 0 (underspecification),
+    - decoder input: shifted right by one (position 0 = zero start symbol),
+    - decoder output: teacher forcing target, newline = end-of-sequence,
+    - sample weights zero where the decoder output row is all-zero (padding),
+    - confmat sources place alternatives of each chunk at shared timesteps
+      with their probabilities.
+
+    TPU-first deviation: `bucketed` pads T to a static bucket length (see
+    LENGTH_BUCKETS) instead of exactly the batch max; pass explicit
+    `pad_encoder`/`pad_decoder` to pin lengths (e.g. for parity testing).
+    """
+    voc_size = mapping.voc_size
+    batch = len(sources)
+    with_confmat = False
+    enc_lens = [len(s) for s in sources]
+    if confs is not None and any(c for c in confs):
+        first = next(c for c in confs if c)
+        if first and isinstance(first[0], list):
+            with_confmat = True
+            enc_lens = [
+                sum(max((len(alt[0]) for alt in chunk), default=0)
+                    for chunk in (c or []))
+                for c in confs]
+    max_enc = max(max(enc_lens), 1) if enc_lens else 1
+    max_dec = max(max((len(t) for t in targets), default=1), 1)
+    if pad_encoder is None:
+        pad_encoder = bucket_length(max_enc) if bucketed else max_enc
+    if pad_decoder is None:
+        pad_decoder = (bucket_length(max_dec + 1) if bucketed
+                       else max_dec + 1)
+    assert pad_encoder >= max_enc and pad_decoder >= max_dec + 1
+
+    enc = np.zeros((batch, pad_encoder, voc_size), dtype=np.float32)
+    dec_in = np.zeros((batch, pad_decoder, voc_size), dtype=np.float32)
+    dec_out = np.zeros((batch, pad_decoder, voc_size), dtype=np.float32)
+
+    def _idx(char, where):
+        if char not in mapping.c2i:
+            if char != GAP and logger is not None:
+                logger.error('unmapped character "%s" at %s', char, where)
+            return 0
+        return mapping.c2i[char]
+
+    for i in range(batch):
+        if with_confmat:
+            j = 0
+            for chunk in (confs[i] or []):
+                max_chars = max((len(alt[0]) for alt in chunk), default=0)
+                for chars, conf in chunk:
+                    for k, char in enumerate(chars):
+                        enc[i, j + k, _idx(char, f'encoder line {i}')] = conf
+                j += max_chars
+        else:
+            for j, char in enumerate(sources[i]):
+                idx = _idx(char, f'encoder line {i}')
+                if confs is not None and confs[i]:
+                    enc[i, j, idx] = confs[i][j]
+                else:
+                    enc[i, j, idx] = 1.0
+        for j, char in enumerate(targets[i]):
+            idx = _idx(char, f'decoder line {i}')
+            dec_in[i, j + 1, idx] = 1.0
+            dec_out[i, j, idx] = 1.0
+
+    weights = np.ones(dec_out.shape[:2], dtype=np.float32)
+    weights[np.all(dec_out == 0, axis=2)] = 0.0
+    return enc, dec_in, dec_out, weights

@@ -1,0 +1,41 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+Multi-chip sharding is validated on virtual CPU devices
+(xla_force_host_platform_device_count) since only one real TPU chip is
+available in CI; bench.py runs on the real chip instead.
+"""
+
+import os
+
+os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+flags = os.environ.get('XLA_FLAGS', '')
+if 'xla_force_host_platform_device_count' not in flags:
+    os.environ['XLA_FLAGS'] = (
+        flags + ' --xla_force_host_platform_device_count=8').strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+from cor_asv_ann_tpu.models.config import Seq2SeqConfig, init_params  # noqa: E402
+from cor_asv_ann_tpu.utils.data import CharMapping  # noqa: E402
+
+
+@pytest.fixture(scope='session')
+def tiny_setup():
+    """A tiny random model + mapping usable across tests."""
+    chars = "abcdefghij .,\n"
+    mapping = CharMapping.from_texts([chars])
+    config = Seq2SeqConfig(width=16, depth=2, voc_size=mapping.voc_size)
+    params = init_params(config, seed=42)
+    return config, mapping, params
+
+
+def make_onehot_batch(mapping, lines, pad_to=None):
+    """Vectorize plain lines (with trailing newline) to (B, T, V)."""
+    V = mapping.voc_size
+    T = pad_to or max(len(l) for l in lines)
+    enc = np.zeros((len(lines), T, V), np.float32)
+    for i, line in enumerate(lines):
+        for j, ch in enumerate(line):
+            enc[i, j, mapping.get(ch)] = 1.0
+    return enc

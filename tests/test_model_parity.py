@@ -1,0 +1,106 @@
+"""JAX model vs NumPy golden reference parity.
+
+The NumPy reference (lib/numpy_ref.py) encodes the exact Keras semantics of
+the reference model; the jitted JAX implementation must reproduce its
+encoder outputs and greedy decodes on identical parameters.
+"""
+
+import numpy as np
+import jax
+import pytest
+
+from cor_asv_ann_tpu.lib import numpy_ref
+from cor_asv_ann_tpu.models import seq2seq
+from cor_asv_ann_tpu.models.config import Seq2SeqConfig, init_params
+from cor_asv_ann_tpu.utils.data import CharMapping
+
+from conftest import make_onehot_batch
+
+LINES = ["abba dig.\n", "chef i gad.\n", "hi.\n"]
+
+
+def _np_config(config):
+    return config.as_dict()
+
+
+def test_encoder_parity(tiny_setup):
+    config, mapping, params = tiny_setup
+    enc = make_onehot_batch(mapping, LINES, pad_to=12)
+    out_np, states_np, _a0, u_np = numpy_ref.encode(
+        params, _np_config(config), enc)
+    out_jx, states_jx, u_jx = seq2seq.encode(params, config, enc)
+    np.testing.assert_allclose(out_np, np.asarray(out_jx), atol=2e-5)
+    np.testing.assert_allclose(u_np, np.asarray(u_jx), atol=2e-5)
+    for (hn, cn), (hj, cj) in zip(states_np, states_jx):
+        np.testing.assert_allclose(hn, np.asarray(hj), atol=2e-5)
+        np.testing.assert_allclose(cn, np.asarray(cj), atol=2e-5)
+
+
+@pytest.mark.parametrize('kwargs', [
+    {},
+    {'depth': 1},
+    {'depth': 3},
+    {'depth': 3, 'residual_connections': True},
+    {'deep_bidirectional_encoder': True},
+    {'bridge_dense': True},
+])
+def test_greedy_decode_parity(kwargs):
+    chars = "abcdefghij .,\n"
+    mapping = CharMapping.from_texts([chars])
+    config = Seq2SeqConfig(width=8, voc_size=mapping.voc_size, **kwargs)
+    params = init_params(config, seed=7)
+    # sharpen the tied output softmax so argmax margins dominate float
+    # noise: chain parity is only well-defined for peaked distributions
+    params['char_embedding']['kernel'] *= 400.0
+    enc = make_onehot_batch(mapping, LINES, pad_to=12)
+    texts_np, probs_np, scores_np, aligns_np = numpy_ref.decode_batch_greedy(
+        params, _np_config(config), mapping, enc)
+    newline = mapping.get('\n')
+    idx, prob, length, score, aligns = seq2seq.decode_greedy(
+        params, config, enc, newline, return_alignments=True)
+    idx, prob, length = map(np.asarray, (idx, prob, length))
+    texts_jx = [''.join(mapping.i2c[int(i)] for i in idx[j, :length[j]])
+                for j in range(len(LINES))]
+    # after many feedback steps through a sharpened network, float32
+    # order-of-ops drift accumulates; the decoded bytes must match unless
+    # the divergence happens at a genuine numerical tie (top-2 prob gap
+    # below float noise at the first differing step)
+    for j in range(len(LINES)):
+        a, b = texts_jx[j], texts_np[j]
+        if a == b:
+            np.testing.assert_allclose(prob[j, :length[j]], probs_np[j],
+                                       atol=5e-3)
+            np.testing.assert_allclose(
+                np.asarray(aligns)[j, :length[j]], np.stack(aligns_np[j]),
+                atol=5e-3)
+            continue
+        t = next(k for k in range(min(len(a), len(b))) if a[k] != b[k])
+        gap = abs(probs_np[j][t] - float(prob[j, t]))
+        assert gap < 1e-2, (
+            f'line {j} diverges at step {t} with prob gap {gap}: '
+            f'{a!r} vs {b!r}')
+
+
+def test_greedy_decode_empty_line(tiny_setup):
+    config, mapping, params = tiny_setup
+    enc = make_onehot_batch(mapping, ["ab.\n", ""], pad_to=8)
+    newline = mapping.get('\n')
+    idx, prob, length, score, _ = seq2seq.decode_greedy(
+        params, config, enc, newline)
+    assert int(np.asarray(length)[1]) == 0
+
+
+def test_teacher_forward_matches_stepwise(tiny_setup):
+    """Teacher-forced scan must equal stepping the decoder manually."""
+    config, mapping, params = tiny_setup
+    enc = make_onehot_batch(mapping, LINES, pad_to=12)
+    dec_in = make_onehot_batch(mapping, ["\0" + l for l in LINES], pad_to=16)
+    dec_in[:, 0, :] = 0  # true zero start symbol
+    probs_seq = np.asarray(
+        seq2seq.forward_teacher(params, config, enc, dec_in))
+    attended, states, u = seq2seq.encode(params, config, enc)
+    state = (list(states), np.zeros(enc.shape[:2], np.float32))
+    for t in range(dec_in.shape[1]):
+        p, state, _ = seq2seq.decoder_step(
+            params, config, dec_in[:, t], state, attended, u)
+        np.testing.assert_allclose(probs_seq[:, t], np.asarray(p), atol=2e-5)
