@@ -200,3 +200,153 @@ def decode_batch_greedy(params, config, mapping, enc_input, max_steps=None):
             break
     lengths = np.array([max(len(t), 1) for t in texts])
     return texts, probs, (scores / lengths).tolist(), aligns
+
+
+class _BeamNode:
+    """One hypothesis in the beam trie (re-derivation of reference Node,
+    seq2seq.py:1546-1608)."""
+
+    __slots__ = ('value', 'parent', 'state', 'cum_cost', 'length', 'length0',
+                 'cost0', 'prob', 'scores', 'alignment')
+
+    def __init__(self, state, value, scores, cost, parent=None, prob=1.0,
+                 alignment=None, length0=None, cost0=None):
+        self.value = value
+        self.parent = parent
+        self.state = state
+        self.cum_cost = (parent.cum_cost + cost) if parent else cost
+        self.length = 1 if parent is None else parent.length + 1
+        self.length0 = length0 or (parent.length0 if parent else 1)
+        self.cost0 = cost0 or (parent.cost0 if parent else 0)
+        self.prob = prob
+        self.scores = scores
+        self.alignment = (parent.alignment if parent else []) \
+            if alignment is None else alignment
+
+    def to_sequence(self):
+        seq = []
+        node = self
+        while node:
+            seq.insert(0, node)
+            node = node.parent
+        return seq
+
+    def pro_cost(self):
+        return -(self.cum_cost + self.cost0 * np.abs(self.length - self.length0))
+
+    def __lt__(self, other):
+        return self.pro_cost() < other.pro_cost()
+
+
+def decode_sequence_beam(params, config, mapping, source_seq,
+                         rejection_threshold=0.3, beam_width_in=15,
+                         beam_threshold_in=0.2, beam_width_out=16,
+                         batch_size=256):
+    """Reference-semantics A*-like beam search for ONE line (NumPy).
+
+    Faithful re-derivation of seq2seq.py:1356-1544 including the global
+    best-first queue, rejection candidates and successive-max-reset
+    feedback. Yields (text, probs, score, alignments) best-first.
+    """
+    from bisect import insort_left
+    enc_input = source_seq[None]
+    V = enc_input.shape[2]
+    attended, states, attn0, u = encode(params, config, enc_input)
+    attended_len = attended.shape[1]
+    layer_states = list(states)
+    next_beam = [_BeamNode(state=(layer_states, attn0), value='',
+                           scores=np.zeros(V, np.float32), prob=[], cost=0.0,
+                           alignment=[], length0=attended_len, cost0=3.0)]
+    final_beam = []
+    max_batches = attended_len * 2
+    for _ in range(max_batches):
+        beam = []
+        while next_beam:
+            node = next_beam.pop()
+            if node.value == '\n':
+                insort_left(final_beam, node)
+            else:
+                beam.append(node)
+            if len(beam) >= batch_size:
+                break
+        if not beam:
+            break
+        if (len(final_beam) > beam_width_out and
+                final_beam[-1].pro_cost() > beam[0].pro_cost()):
+            break
+        feedback = np.stack([node.scores for node in beam])
+        hyp_states = (
+            [(np.concatenate([n.state[0][l][0] for n in beam]),
+              np.concatenate([n.state[0][l][1] for n in beam]))
+             for l in range(config['depth'])],
+            np.concatenate([n.state[1] for n in beam]))
+        att = np.broadcast_to(attended, (len(beam),) + attended.shape[1:])
+        uu = np.broadcast_to(u, (len(beam),) + u.shape[1:])
+        probs, (new_layers, a_new), _ = decoder_step(
+            params, config, feedback, hyp_states, att, uu)
+        for i, node in enumerate(beam):
+            states_i = ([(h[i:i + 1], c[i:i + 1]) for h, c in new_layers],
+                        a_new[i:i + 1])
+            scores = probs[i].copy()
+            alignment = a_new[i:i + 1]
+            misalignment = 0.0
+            if node.length > 1:
+                prev_alignment = node.alignment
+                prev_pos = float(prev_alignment @ np.arange(attended_len))
+                pos = float(alignment[0] @ np.arange(attended_len))
+                misalignment = abs(pos - prev_pos - 1)
+                if np.max(prev_alignment) == 1.0:
+                    source_pos = int(prev_pos) + 1
+                else:
+                    source_pos = int(round(pos))
+            else:
+                source_pos = 0
+            source_pos = min(source_pos, attended_len - 1)
+            source_scores = source_seq[source_pos]
+            if (rejection_threshold
+                    and (misalignment < 0.1
+                         or (len(np.shape(node.alignment)) and
+                             np.max(node.alignment) == 1.0))
+                    and np.any(source_scores)):
+                rej_idx = int(np.nanargmax(source_scores))
+                if scores[rej_idx] < rejection_threshold:
+                    scores[rej_idx] = rejection_threshold
+            else:
+                rej_idx = None
+            order = np.argsort(scores)
+            highest = scores[order[-1]]
+            beampos = V - np.searchsorted(scores[order],
+                                          highest * beam_threshold_in)
+            beampos = min(beampos, beam_width_in)
+            pos = 0
+            for idx in reversed(order):
+                pos += 1
+                score = scores[idx]
+                logscore = -np.log(score)
+                alignment1 = alignment[0]
+                if idx == rej_idx:
+                    alignment1 = np.eye(attended_len,
+                                        dtype=np.float32)[source_pos]
+                    rej_idx = None
+                elif pos > beampos:
+                    if rej_idx:
+                        continue
+                    else:
+                        break
+                value = mapping.i2c[int(idx)]
+                if np.isnan(logscore) or value == '':
+                    continue
+                scores1 = scores.copy()
+                scores[idx] = 0
+                insort_left(next_beam, _BeamNode(
+                    parent=node, state=states_i, value=value, scores=scores1,
+                    prob=score, cost=logscore, alignment=alignment1))
+        if len(next_beam) > max_batches * batch_size:
+            next_beam = next_beam[-max_batches * batch_size:]
+    while final_beam:
+        node = final_beam.pop()
+        nodes = node.to_sequence()[1:]
+        yield (''.join(n.value for n in nodes),
+               [n.prob for n in nodes],
+               node.cum_cost / (node.length - 1),
+               [n.alignment for n in nodes])

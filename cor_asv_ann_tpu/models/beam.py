@@ -1,0 +1,343 @@
+"""Fully on-device A*-like beam search with rejection thresholding.
+
+Re-architecture of the reference beam decoder
+(lib/seq2seq.py:1356-1544 `decode_sequence_beam`, `Node` trie :1546-1608)
+for TPU static shapes. The reference keeps an *unbounded best-first queue*
+of hypothesis nodes and expands up to batch_size of them per iteration;
+unexpanded nodes persist and can win later (A*). Here each line carries a
+fixed **reservoir** of R node slots ordered by prospective cost; every
+iteration the best K unexpanded nodes are stepped through the decoder
+(lines-parallel and hypotheses-parallel), their K*C candidate children are
+merged back into the reservoir (keep best R), and finished hypotheses go
+to a bank of F solutions. All of it runs inside one `lax.while_loop`.
+
+Semantics carried over from the reference:
+- candidate admission per node: top `beam_width_in` by probability, cut at
+  the relative threshold `highest * beam_threshold_in`
+  (seq2seq.py:1472-1480); index 0 (underspecification) excluded,
+- **rejection**: the input character at the currently aligned source
+  position is boosted to `rejection_threshold` probability and guaranteed
+  admission, when the hypothesis is still aligned (misalignment < 0.1) or
+  the previous choice was a rejection; a rejection choice gets a one-hot
+  alignment marker (seq2seq.py:1441-1496),
+- decoder feedback for a candidate ranked r is the full (boosted) score
+  vector with the r better-ranked maxima zeroed (seq2seq.py:1515-1520),
+- node ordering by prospective cost cum + cost0*|length - len0| with
+  cost0 = 3 (Node.pro_cost, seq2seq.py:1588-1595),
+- termination after 2*len0 iterations, or early when the bank is full and
+  the worst banked cost beats the best queued cost (seq2seq.py:1396-1420).
+
+Deviations (documented):
+- the queue is bounded by R per line (the reference prunes to
+  max_batches*batch_size nodes globally, seq2seq.py:1530-1532),
+- `len0` is the true per-line source length, not the batch-padded length,
+- per-step soft alignments are recorded as their window *centers* only
+  (the attention is windowed to ±window_width anyway); downstream hard
+  alignment paths are built from the centers instead of running Viterbi
+  over a dense soft-alignment matrix (transcode.py:279-349).
+"""
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .config import Seq2SeqConfig
+from .seq2seq import encode, decoder_step
+
+INF = jnp.inf
+
+
+@dataclasses.dataclass(frozen=True)
+class BeamParams:
+    reservoir: int = 64        # queued node slots R per line
+    expand: int = 8            # nodes expanded per iteration K
+    beam_width_in: int = 15    # max candidates admitted per node C
+    beam_threshold_in: float = 0.2  # relative admission threshold
+    beam_width_out: int = 16   # finished-hypothesis bank size F
+    rejection_threshold: float = 0.3
+    cost0: float = 3.0         # per-char cost for the length prior
+
+
+@functools.partial(jax.jit, static_argnames=('config', 'bp', 'max_steps'))
+def decode_beam(params, config: Seq2SeqConfig, bp: BeamParams, enc_input,
+                newline_idx, src_len, max_steps=None):
+    """Beam-decode a batch of lines entirely on device.
+
+    enc_input: (B, T, V) source vectors; src_len: (B,) true source lengths
+    (including the trailing newline). Returns a dict with the finished
+    bank, best-first: 'idx' (B,F,S), 'prob' (B,F,S), 'length' (B,F),
+    'cost' (B,F) prospective cost, 'cum' (B,F) cumulative -log p,
+    'count' (B,), and per-step alignment centers 'align_pos' (B,F,S).
+    """
+    B, T, V = enc_input.shape
+    R, K, C, F = bp.reservoir, bp.expand, bp.beam_width_in, bp.beam_width_out
+    S = max_steps or 2 * T
+    attended, states, u = encode(params, config, enc_input)
+    A = attended.shape[-1]
+
+    src_any = jnp.any(enc_input != 0, axis=2)                     # (B, T)
+    src_top = jnp.argmax(enc_input, axis=2).astype(jnp.int32)     # (B, T)
+    arange_T = jnp.arange(T, dtype=attended.dtype)
+    len0 = src_len.astype(attended.dtype)                          # (B,)
+    line_live = jnp.any(enc_input.reshape(B, -1) != 0, axis=1)
+
+    def tile_r(x):  # (B, ...) -> (B, R, ...)
+        return jnp.broadcast_to(x[:, None], (B, R) + x.shape[1:])
+
+    # reservoir; slot 0 is the root node, others dead (pro = INF)
+    root = jnp.arange(R) == 0
+    state0 = dict(
+        t=jnp.array(0, jnp.int32),
+        h=tuple((tile_r(h), tile_r(c)) for h, c in states),
+        align=jnp.zeros((B, R, T), attended.dtype),
+        feedback=jnp.zeros((B, R, V), attended.dtype),
+        cum=jnp.where(root, 0.0, INF).astype(attended.dtype)
+            * jnp.ones((B, 1)),
+        pro=(jnp.where(root, 0.0, INF)[None]
+             + bp.cost0 * jnp.abs(1.0 - len0[:, None])
+             ).astype(attended.dtype),
+        nchars=jnp.zeros((B, R), jnp.int32),
+        was_rej=jnp.zeros((B, R), bool),
+        seq=jnp.zeros((B, R, S), jnp.int32),
+        seq_p=jnp.zeros((B, R, S), attended.dtype),
+        seq_ap=jnp.zeros((B, R, S), jnp.int32),
+        bank_cost=jnp.full((B, F), INF, attended.dtype),
+        bank_cum=jnp.full((B, F), INF, attended.dtype),
+        bank_len=jnp.zeros((B, F), jnp.int32),
+        bank_seq=jnp.zeros((B, F, S), jnp.int32),
+        bank_seq_p=jnp.zeros((B, F, S), attended.dtype),
+        bank_ap=jnp.zeros((B, F, S), jnp.int32),
+        done=~line_live,
+    )
+
+    def ta(x, ix):
+        """take_along_axis on axis 1 with trailing broadcast dims."""
+        return jnp.take_along_axis(
+            x, ix.reshape(ix.shape + (1,) * (x.ndim - 2)), axis=1)
+
+    def body(s):
+        t = s['t']
+        # --- pick the K best unexpanded nodes per line ----------------
+        neg, exp_ix = jax.lax.top_k(-s['pro'], K)         # (B, K)
+        exp_pro = -neg
+        exp_ok = jnp.isfinite(exp_pro) & ~s['done'][:, None]
+
+        def g(x):  # gather expansion set from reservoir
+            return ta(x, exp_ix)
+
+        e_cum = jnp.take_along_axis(s['cum'], exp_ix, axis=1)
+        e_nchars = jnp.take_along_axis(s['nchars'], exp_ix, axis=1)
+        e_wasrej = jnp.take_along_axis(s['was_rej'], exp_ix, axis=1)
+        e_align = g(s['align'])
+        e_feedback = g(s['feedback'])
+        e_h = tuple((g(h), g(c)) for h, c in s['h'])
+        e_seq = g(s['seq'])
+        e_seq_p = g(s['seq_p'])
+        e_seq_ap = g(s['seq_ap'])
+
+        # --- decoder step for the expansion set -----------------------
+        def flat(x):
+            return x.reshape((B * K,) + x.shape[2:])
+
+        def unflat(x):
+            return x.reshape((B, K) + x.shape[1:])
+
+        att_k = jnp.broadcast_to(attended[:, None], (B, K, T, A))
+        u_k = jnp.broadcast_to(u[:, None], (B, K, T, u.shape[-1]))
+        probs_f, (new_layers, a_new_f), _ = decoder_step(
+            params, config, flat(e_feedback),
+            ([(flat(h), flat(c)) for h, c in e_h], flat(e_align)),
+            flat(att_k), flat(u_k))
+        probs = unflat(probs_f)                      # (B, K, V)
+        a_new = unflat(a_new_f)                      # (B, K, T)
+        n_h = tuple((unflat(h), unflat(c)) for h, c in new_layers)
+
+        # --- rejection candidate (seq2seq.py:1441-1470) ---------------
+        prev_exp = jnp.einsum('bkt,t->bk', e_align, arange_T)
+        new_exp = jnp.einsum('bkt,t->bk', a_new, arange_T)
+        first = e_nchars == 0
+        misal = jnp.where(first, 0.0, jnp.abs(new_exp - prev_exp - 1.0))
+        src_pos = jnp.where(
+            first, 0,
+            jnp.where(e_wasrej,
+                      prev_exp.astype(jnp.int32) + 1,
+                      jnp.round(new_exp).astype(jnp.int32)))
+        src_pos = jnp.clip(src_pos, 0, T - 1)
+        rej_ok = ((bp.rejection_threshold > 0)
+                  & ((misal < 0.1) | e_wasrej | first)
+                  & jnp.take_along_axis(src_any, src_pos, axis=1))
+        rej_idx = jnp.take_along_axis(src_top, src_pos, axis=1)
+        rej_oh = jax.nn.one_hot(rej_idx, V, dtype=probs.dtype)
+        rej_p = jnp.sum(probs * rej_oh, axis=-1)
+        boost = rej_ok & (rej_p < bp.rejection_threshold)
+        probs_adj = jnp.where((rej_oh > 0) & boost[..., None],
+                              bp.rejection_threshold, probs)
+
+        # --- candidate admission --------------------------------------
+        cand_base = probs_adj.at[:, :, 0].set(-INF)  # exclude underspec
+        cand_p, cand_idx = jax.lax.top_k(cand_base, C)   # (B, K, C)
+        valid = cand_p >= cand_p[..., :1] * bp.beam_threshold_in
+        in_top = jnp.any(cand_idx == rej_idx[..., None], axis=-1)
+        force = rej_ok & ~in_top
+        last = C - 1
+        cand_idx = cand_idx.at[..., last].set(
+            jnp.where(force, rej_idx, cand_idx[..., last]))
+        cand_p = cand_p.at[..., last].set(
+            jnp.where(force, jnp.maximum(rej_p, bp.rejection_threshold),
+                      cand_p[..., last]))
+        valid = valid.at[..., last].set(force | valid[..., last])
+        is_rej = rej_ok[..., None] & (cand_idx == rej_idx[..., None])
+
+        cand_cost = -jnp.log(jnp.maximum(cand_p, 1e-30))
+        c_cum = e_cum[..., None] + cand_cost
+        c_nchars = (e_nchars + 1)[..., None]                      # (B,K,1)
+        c_pro = c_cum + bp.cost0 * jnp.abs(
+            (c_nchars + 1).astype(len0.dtype) - len0[:, None, None])
+        ok = valid & exp_ok[..., None] & jnp.isfinite(c_cum)
+        c_pro = jnp.where(ok, c_pro, INF)
+        c_fin = (cand_idx == newline_idx) & ok
+        c_pro_res = jnp.where(c_fin, INF, c_pro)      # reservoir-bound
+        c_pro_fin = jnp.where(c_fin, c_pro, INF)      # bank-bound
+
+        # per-candidate alignment center (rejection -> one-hot marker)
+        c_center = jnp.broadcast_to(
+            jnp.round(new_exp).astype(jnp.int32)[..., None], cand_idx.shape)
+        c_center = jnp.where(is_rej, src_pos[..., None], c_center)
+        c_center = jnp.clip(c_center, 0, T - 1)
+
+        # --- merge candidates into the reservoir ----------------------
+        # consumed parents leave the reservoir
+        res_pro = s['pro'].at[jnp.arange(B)[:, None], exp_ix].set(
+            jnp.where(exp_ok, INF, jnp.take_along_axis(s['pro'], exp_ix,
+                                                       axis=1)))
+        all_pro = jnp.concatenate(
+            [res_pro, c_pro_res.reshape(B, K * C)], axis=1)   # (B, R+KC)
+        neg2, sel = jax.lax.top_k(-all_pro, R)
+        new_pro = -neg2
+        is_old = sel < R
+        old_ix = jnp.minimum(sel, R - 1)
+        j = jnp.maximum(sel - R, 0)
+        par_k = j // C
+        rank = j % C
+
+        cand_of = lambda x: jnp.take_along_axis(      # (B,KC)->(B,R)
+            x.reshape(B, K * C), j, axis=1)
+        new_cum = jnp.where(is_old,
+                            jnp.take_along_axis(s['cum'], old_ix, axis=1),
+                            cand_of(c_cum))
+        new_cum = jnp.where(jnp.isfinite(new_pro), new_cum, INF)
+        new_nchars = jnp.where(
+            is_old, jnp.take_along_axis(s['nchars'], old_ix, axis=1),
+            cand_of(jnp.broadcast_to(c_nchars, cand_idx.shape)))
+        new_wasrej = jnp.where(
+            is_old, jnp.take_along_axis(s['was_rej'], old_ix, axis=1),
+            cand_of(is_rej))
+
+        def merge(old, new_k, setter=None):
+            """old: (B,R,...) reservoir field; new_k: (B,K,...) value per
+            expanded parent; candidates inherit via par_k (+ setter)."""
+            from_old = ta(old, old_ix)
+            from_new = ta(new_k, par_k)
+            if setter is not None:
+                from_new = setter(from_new)
+            m = is_old.reshape((B, R) + (1,) * (old.ndim - 2))
+            return jnp.where(m, from_old, from_new)
+
+        # candidate alignment: decoder soft alignment of the parent step,
+        # or a one-hot marker at source_pos for rejection choices
+        sel_isrej = cand_of(is_rej)
+        sel_srcpos = cand_of(
+            jnp.broadcast_to(src_pos[..., None], cand_idx.shape))
+        new_align = merge(
+            s['align'], a_new,
+            setter=lambda x: jnp.where(
+                sel_isrej[..., None],
+                jax.nn.one_hot(sel_srcpos, T, dtype=x.dtype), x))
+        new_h = tuple((merge(s['h'][l][0], n_h[l][0]),
+                       merge(s['h'][l][1], n_h[l][1]))
+                      for l in range(len(n_h)))
+        write_pos = jnp.where(is_old, 0, cand_of(
+            jnp.broadcast_to(e_nchars[..., None], cand_idx.shape)))
+        new_char = cand_of(cand_idx)
+        new_p = cand_of(cand_p)
+        new_ctr = cand_of(c_center)
+        onehot_pos = jax.nn.one_hot(write_pos, S, dtype=bool) & ~is_old[..., None]
+        new_seq = jnp.where(onehot_pos, new_char[..., None],
+                            merge(s['seq'], e_seq))
+        new_seq_p = jnp.where(onehot_pos, new_p[..., None],
+                              merge(s['seq_p'], e_seq_p))
+        new_seq_ap = jnp.where(onehot_pos, new_ctr[..., None],
+                               merge(s['seq_ap'], e_seq_ap))
+
+        # feedback for new nodes: parent boosted probs with better-ranked
+        # candidate maxima zeroed (seq2seq.py:1515-1520)
+        par_probs = ta(probs_adj, par_k)              # (B, R, V)
+        par_cidx = ta(cand_idx, par_k)                # (B, R, C)
+        zero_mask = jnp.zeros((B, R, V), bool)
+        for c in range(C):
+            oh = jax.nn.one_hot(par_cidx[..., c], V, dtype=jnp.float32) > 0
+            zero_mask = zero_mask | (oh & (c < rank)[..., None])
+        cand_feedback = jnp.where(zero_mask, 0.0, par_probs)
+        new_feedback = jnp.where(is_old[..., None],
+                                 ta(s['feedback'], old_ix),
+                                 cand_feedback)
+
+        # --- route finished candidates into the bank ------------------
+        all_fin = jnp.concatenate(
+            [s['bank_cost'], c_pro_fin.reshape(B, K * C)], axis=1)
+        neg3, bsel = jax.lax.top_k(-all_fin, F)
+        nb_cost = -neg3
+        b_old = bsel < F
+        b_oix = jnp.minimum(bsel, F - 1)
+        bj = jnp.maximum(bsel - F, 0)
+        b_par = bj // C
+        bcand = lambda x: jnp.take_along_axis(x.reshape(B, K * C), bj, axis=1)
+
+        def bmerge(old, new_k, write_val):
+            from_old = ta(old, b_oix)
+            from_new = ta(new_k, b_par)
+            pos = bcand(jnp.broadcast_to(e_nchars[..., None],
+                                         cand_idx.shape))
+            oh = jax.nn.one_hot(pos, S, dtype=bool)
+            from_new = jnp.where(oh, write_val[..., None], from_new)
+            m = b_old.reshape((B, F) + (1,) * (old.ndim - 2))
+            return jnp.where(m, from_old, from_new)
+
+        new_bank = dict(
+            bank_cost=nb_cost,
+            bank_cum=jnp.where(b_old,
+                               jnp.take_along_axis(s['bank_cum'], b_oix,
+                                                   axis=1),
+                               bcand(c_cum)),
+            bank_len=jnp.where(
+                b_old, jnp.take_along_axis(s['bank_len'], b_oix, axis=1),
+                bcand(jnp.broadcast_to(c_nchars, cand_idx.shape))),
+            bank_seq=bmerge(s['bank_seq'], e_seq, bcand(cand_idx)),
+            bank_seq_p=bmerge(s['bank_seq_p'], e_seq_p, bcand(cand_p)),
+            bank_ap=bmerge(s['bank_ap'], e_seq_ap, bcand(c_center)),
+        )
+
+        # --- termination ----------------------------------------------
+        bank_full = jnp.isfinite(nb_cost[:, -1])
+        best_res = jnp.min(new_pro, axis=1)
+        stop = bank_full & (nb_cost[:, -1] <= best_res)
+        no_live = ~jnp.any(jnp.isfinite(new_pro), axis=1)
+        over = (t + 1).astype(len0.dtype) >= 2.0 * len0
+        done = s['done'] | stop | no_live | over
+
+        return dict(t=t + 1, h=new_h, align=new_align,
+                    feedback=new_feedback, cum=new_cum, pro=new_pro,
+                    nchars=new_nchars, was_rej=new_wasrej, seq=new_seq,
+                    seq_p=new_seq_p, seq_ap=new_seq_ap, done=done,
+                    **new_bank)
+
+    def cond(s):
+        return (s['t'] < S) & ~jnp.all(s['done'])
+
+    s = jax.lax.while_loop(cond, body, state0)
+    count = jnp.sum(jnp.isfinite(s['bank_cost']), axis=1)
+    return dict(idx=s['bank_seq'], prob=s['bank_seq_p'],
+                length=s['bank_len'], cost=s['bank_cost'],
+                cum=s['bank_cum'], count=count, align_pos=s['bank_ap'])

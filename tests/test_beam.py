@@ -1,0 +1,94 @@
+"""On-device A*-reservoir beam vs the reference-semantics NumPy oracle.
+
+The oracle (lib/numpy_ref.py decode_sequence_beam) re-derives the
+reference's global best-first queue with rejection; the batched TPU beam
+must find the same 1-best on peaked models.
+"""
+
+import numpy as np
+import pytest
+
+from cor_asv_ann_tpu.lib import numpy_ref
+from cor_asv_ann_tpu.models import beam
+from cor_asv_ann_tpu.models.config import Seq2SeqConfig, init_params
+from cor_asv_ann_tpu.utils.data import CharMapping
+
+from conftest import make_onehot_batch
+
+LINES = ["abba dig.\n", "chef i gad.\n", "hi.\n"]
+T = 12
+
+
+def _decode(mapping, out, j, f=0):
+    L = out['length'][j, f]
+    return ''.join(mapping.i2c[int(i)] for i in out['idx'][j, f, :L])
+
+
+@pytest.mark.parametrize('seed', [7, 11, 23])
+def test_beam_matches_oracle_1best(seed):
+    mapping = CharMapping.from_texts(["abcdefghij .,\n"])
+    config = Seq2SeqConfig(width=8, voc_size=mapping.voc_size)
+    params = init_params(config, seed=seed)
+    params['char_embedding']['kernel'] *= 400.0
+    enc = make_onehot_batch(mapping, LINES, pad_to=T)
+    # oracle uses the padded length as len0 (like the reference), so pass
+    # the same to the device beam for comparability
+    src_len = np.full(len(LINES), T, np.int32)
+    bp = beam.BeamParams(reservoir=48, expand=8, beam_width_in=6,
+                         beam_width_out=4)
+    out = {k: np.asarray(v) for k, v in beam.decode_beam(
+        params, config, bp, enc, mapping.get('\n'), src_len).items()}
+    for j in range(len(LINES)):
+        gen = numpy_ref.decode_sequence_beam(
+            params, config.as_dict(), mapping, enc[j],
+            rejection_threshold=0.3, beam_width_in=6,
+            beam_threshold_in=0.2, beam_width_out=4, batch_size=8)
+        ref_txt, _, ref_score, _ = next(gen)
+        assert _decode(mapping, out, j) == ref_txt
+        L = out['length'][j, 0]
+        np.testing.assert_allclose(out['cum'][j, 0] / L, ref_score,
+                                   atol=2e-2)
+
+
+def test_beam_properties():
+    mapping = CharMapping.from_texts(["abcdefghij .,\n"])
+    config = Seq2SeqConfig(width=8, voc_size=mapping.voc_size)
+    params = init_params(config, seed=7)
+    params['char_embedding']['kernel'] *= 400.0
+    enc = make_onehot_batch(mapping, LINES + [""], pad_to=T)
+    src_len = np.array([len(l) for l in LINES] + [0], np.int32)
+    bp = beam.BeamParams(reservoir=32, expand=8, beam_width_in=6,
+                         beam_width_out=4)
+    out = {k: np.asarray(v) for k, v in beam.decode_beam(
+        params, config, bp, enc, mapping.get('\n'), src_len).items()}
+    nl = mapping.get('\n')
+    for j in range(len(LINES)):
+        n = out['count'][j]
+        assert 1 <= n <= 4
+        # bank is ordered best-first by prospective cost
+        costs = out['cost'][j, :n]
+        assert np.all(np.diff(costs) >= -1e-6)
+        for f in range(n):
+            L = out['length'][j, f]
+            assert out['idx'][j, f, L - 1] == nl  # every solution ends in \n
+            # alignment centers are recorded and within the source
+            assert np.all(out['align_pos'][j, f, :L] < T)
+    # empty line produces no solutions
+    assert out['count'][len(LINES)] == 0
+
+
+def test_beam_rejection_echoes_input():
+    """With an untrained (uninformative) model, the rejection mechanism
+    must keep the copy-input path alive so decoding echoes the source
+    (the reference guarantees this fallback, seq2seq.py:1370-1375)."""
+    mapping = CharMapping.from_texts(["abcdefghij .,\n"])
+    config = Seq2SeqConfig(width=8, voc_size=mapping.voc_size)
+    params = init_params(config, seed=0)  # near-uniform outputs
+    enc = make_onehot_batch(mapping, ["abba dig.\n"], pad_to=T)
+    src_len = np.array([T], np.int32)
+    bp = beam.BeamParams(reservoir=48, expand=8, beam_width_in=6,
+                         beam_width_out=4, rejection_threshold=0.5)
+    out = {k: np.asarray(v) for k, v in beam.decode_beam(
+        params, config, bp, enc, mapping.get('\n'), src_len).items()}
+    texts = [_decode(mapping, out, 0, f) for f in range(out['count'][0])]
+    assert "abba dig.\n" in texts
