@@ -1,0 +1,484 @@
+"""Sequence alignment, error-rate metrics and streaming aggregation (host).
+
+Re-derivation of the reference alignment/metrics layer
+(lib/alignment.py:140-486): a difflib-based pair aligner with explicit gap
+elements and grapheme-cluster recombination, the adjusted-distance metric
+family (NFC/NFKC/Levenshtein/historic_latin with GT levels), confusion
+tables, and the numerically stable streaming `Edits` aggregator
+(Chan et al. 1979 parallel mean/variance merging).
+
+The historic-Latin equivalence data (umlaut forms, long s, quote/dash
+families; ligature and PUA replacements) reproduces the factual
+orthographic equivalences the reference metrics are defined over
+(alignment.py:8-119) — these are data tables, required for metric parity.
+
+Word segmentation follows UAX-29 intent (dinglehopper-style: drop tokens
+that contain only punctuation/whitespace/symbols); implemented with a
+small fallback segmenter when `uniseg` is unavailable.
+"""
+
+import logging
+import unicodedata
+from bisect import bisect_left, insort_left
+from difflib import SequenceMatcher
+from itertools import chain
+
+# Level-1 historic Latin equivalence classes: sets of codepoint variants
+# counted as distance 0 at GT level 1 (reference alignment.py:8-45).
+L1_HISTLAT_EQV = [
+    {"\u00e4", "a\u0308", "a\u0364"},   # a umlaut: precomposed, decomposed, combining e
+    {"\u00f6", "o\u0308", "o\u0364"},   # o umlaut
+    {"\u00fc", "u\u0308", "u\u0364"},   # u umlaut
+    {"\u00c4", "A\u0308", "A\u0364"},   # A umlaut
+    {"\u00d6", "O\u0308", "O\u0364"},   # O umlaut
+    {"\u00dc", "U\u0308", "U\u0364"},   # U umlaut
+    {"s", "\u017f"},                      # long s
+    {"r", "\ua75b"},                      # r rotunda
+    {"z", "\u0292"},                      # ezh/yogh
+    {"Z", "\u01b7"},
+    {"n", "\u019e"},                      # n with long right leg
+    {"\u03bc", "\u00b5"},                # Greek vs micro mu
+    {"\u03c0", "\U0001d6d1", "\U0001d70b", "\U0001d745",
+     "\U0001d77f", "\U0001d7b9"},        # Greek vs math pi
+    {"0", "\u2070"}, {"1", "\u00b9"}, {"2", "\u00b2"}, {"3", "\u00b3"},
+    {"4", "\u2074"}, {"5", "\u2075"}, {"6", "\u2076"}, {"7", "\u2077"},
+    {"8", "\u2078"}, {"9", "\u2079", "\ua770"},
+    {"\u201e", "\u00bb", "\u203a", "\u301f"},   # opening double quotes
+    {"\u201c", "\u00ab", "\u2039", "\u301e"},   # closing double quotes
+    {"'", "\u02b9", "\u02bc", "\u2032", "\u2018", "\u2019",
+     "\u201b", "\u1fbd", "`"},                    # single quotes
+    {",", "\u201a"},
+    {"-", "\u2212", "\u2014", "\u2010", "\u2011", "\u2012",
+     "\u2013", "\u2043", "\ufe58", "\u2015", "\u2500", "\u2e17"},
+    {"\u201f", "\u3003", "\u201d", "\u2033"},   # ditto signs
+    {"~", "\u223c", "\u02dc", "\u1fc0", "\u2053"},
+    {"(", "\u27e8", "\u207d"}, {")", "\u27e9", "\u207e"},
+    {"/", "\u29f8", "\u2044", "\u2215"},
+    {"\\", "\u29f9", "\u2216", "\u29f5"},
+]
+
+# Level-2 replacements applied below GT level 3: ligatures, abbreviation
+# glyphs and font-private (PUA) codepoints mapped to accepted spellings
+# (reference alignment.py:47-119; where the reference dict repeats a key,
+# the effective last value is kept).
+L2_HISTLAT_EQV = {
+    '\uf502': 'ch', '\ueec4': 'ck',
+    '\ufb05': '\u017ft',                 # st ligature -> long-s t
+    '\ufb01': 'fi', '\ufb00': 'ff', '\ufb02': 'fl', '\ufb03': 'ffi',
+    '\uf4fc': '\u017fk',
+    '\ueedc': 't\u0292',                 # tz ligature -> t ezh
+    '\uf532': 'as', '\uf533': 'is', '\uf534': 'us', '\uf535': 'Qu',
+    '\u0133': 'ij',
+    '\ue8bf': 'q\u0292',                 # q + final et -> q ezh
+    '\ueba5': '\u017fp',
+    '\ufb06': 'st',
+    'q\u0308': 'q\u1dd3',                # quam abbreviation
+    'c\u0308': 'c\u1dd3',                # cetera abbreviation
+    '\u1e21': 'g\u1dd3',
+    'v\u0309': 'v\u1de3', 'v\u1dce': 'v\u1de3',
+    'b\u1dce': 'b\u1de3', 'p\u1dce': 'p\u1de3',
+    'd\u0309': '\u00f0',                 # d + hook -> eth
+    '\ua75f': 'v\u1de3',
+    't\u1de3': 't\u1dd1',                # -tur abbreviation
+    '\ueada': '\u017ft', '\ueba2': '\u017fi', '\ueba3': '\u017fl',
+    '\ueba6': '\u017f\u017f', '\ueba7': '\u017f\u017fi',
+    '\uf4ff': '\u017f\u017ft', '\uf52c': '\u017fp',
+    '\ueec5': 'ct', '\ueecb': 'ft',
+    '\ue5d2': 'm\u0303', '\ue5dc': 'n\u0303', '\ue665': 'p\u0303',
+    '\ue42c': 'a\u0364', '\ue644': 'o\u0364', '\ue72b': 'u\u0364',
+    '\ue72d': '\u016f',
+    '\uebac': '\u00df',
+    '\ue8b7': '\u017f\u1de3',           # long s + r rotunda
+    '\uf1a6': '\ua770', '\uf223': 'm', '\uf158': '\u204a',
+    '\uf159': '\u00f0', '\uf160': ':',
+    'q\uf02f': 'q\u0365', 't\uf1cc': 't\u1dd1',
+    '\uf4f9': 'll',
+    'a\u0304': 'a\u0303', 'e\u0304': 'e\u0303', 'i\u0304': 'i\u0303',
+    'o\u0304': 'o\u0303', 'u\u0304': 'u\u0303', 'c\u0304': 'c\u0303',
+    'q\u0304': 'q\u0303', 'r\u0304': 'r\u0303',
+    '\uf50e': 'q\u0301',
+}
+
+
+class Confusion:
+    """A counted confusion pair, ordered most-frequent-first."""
+
+    def __init__(self, count, pair):
+        self.count = count
+        self.pair = pair
+
+    def __repr__(self):
+        return str((self.count, self.pair))
+
+    def __lt__(self, other):
+        return self.count > other.count
+
+    def __le__(self, other):
+        return self.count >= other.count
+
+    def __eq__(self, other):
+        return self.count == other.count
+
+    def __gt__(self, other):
+        return self.count < other.count
+
+    def __ge__(self, other):
+        return self.count <= other.count
+
+
+class Alignment:
+    """Pairwise sequence aligner with explicit gap element.
+
+    Wraps difflib.SequenceMatcher (Ratcliff-Obershelp; autojunk off) like
+    the reference (alignment.py:146-148); works on strings or token lists.
+    """
+
+    def __init__(self, gap_element=0, logger=None, confusion=False):
+        self.confusion = dict() if confusion else None
+        self.gap_element = gap_element
+        self.logger = logger or logging.getLogger(__name__)
+        self.matcher = SequenceMatcher(isjunk=None, autojunk=False)
+        self.source_text = []
+        self.target_text = []
+
+    def set_seqs(self, source_text, target_text):
+        self.matcher.set_seqs(source_text, target_text)
+        self.source_text = source_text
+        self.target_text = target_text
+
+    def is_bad(self):
+        """Training-data filter (reference alignment.py:160-163)."""
+        return bool(self.matcher.quick_ratio() < 0.5
+                    and len(self.source_text) > 5)
+
+    def get_best_alignment(self, eq=None):
+        """Convert matcher opcodes into a per-symbol pair alignment.
+
+        'replace' spans of unequal length are decomposed into substitution
+        plus deletion/insertion tails; afterwards combining codepoints are
+        re-attached to the preceding base letter (grapheme recombination,
+        reference alignment.py:206-242). Pairs are also accumulated into
+        the confusion dict (gap-adjacent pairs merged into multi-char
+        entries), skipping pairs `eq` deems equivalent.
+        """
+        gap = self.gap_element
+        src, tgt = self.source_text, self.target_text
+        pairs = []
+        for op, sb, se, tb, te in self.matcher.get_opcodes():
+            if op == 'equal':
+                pairs.extend(zip(src[sb:se], tgt[tb:te]))
+            elif op == 'replace':
+                delta = (se - sb) - (te - tb)
+                if delta > 0:  # substitution + deletion tail
+                    pairs.extend(zip(src[sb:se - delta], tgt[tb:te]))
+                    pairs.extend((s, gap) for s in src[se - delta:se])
+                else:          # substitution + insertion tail
+                    pairs.extend(zip(src[sb:se], tgt[tb:te + delta]))
+                    pairs.extend((gap, t) for t in tgt[te + delta:te])
+            elif op == 'insert':
+                pairs.extend((gap, t) for t in tgt[tb:te])
+            elif op == 'delete':
+                pairs.extend((s, gap) for s in src[sb:se])
+            else:
+                raise ValueError('unexpected opcode %r' % op)
+
+        if not isinstance(src, list):
+            pairs = self._recombine_graphemes(pairs)
+
+        if self.confusion is not None:
+            self._count_confusion(pairs, eq)
+        return pairs
+
+    def _recombine_graphemes(self, pairs):
+        """Attach combining codepoints to the preceding base letter on
+        either side (never combining with a gap or non-letter)."""
+        gap = self.gap_element
+
+        def extendable(prev_sym):
+            return (prev_sym != gap
+                    and unicodedata.category(prev_sym[0])[0] == 'L')
+
+        out = []
+        changed = False
+        for s, t in pairs:
+            if (s != gap and unicodedata.combining(s) and out
+                    and extendable(out[-1][0])):
+                out[-1][0] += s
+                changed = True
+                if t == gap:
+                    continue
+                if (unicodedata.combining(t) and extendable(out[-1][1])):
+                    out[-1][1] += t
+                    continue
+                s = gap
+            elif (t != gap and unicodedata.combining(t) and out
+                    and extendable(out[-1][1])):
+                out[-1][1] += t
+                changed = True
+                if s == gap:
+                    continue
+                t = gap
+            out.append([s, t])
+        if changed:
+            return [tuple(p) for p in out]
+        return pairs
+
+    def _count_confusion(self, pairs, eq):
+        gap = self.gap_element
+        for pos, pair in enumerate(pairs):
+            if gap in pair:
+                continue  # merged into the following non-gap pair below
+            while pos and gap in pairs[pos - 1]:
+                pos -= 1
+                prev = pairs[pos]
+                pair = tuple((a or '') + (b or '')
+                             for a, b in zip(prev, pair))
+            if eq and eq(*pair):
+                continue
+            self.confusion[pair] = self.confusion.get(pair, 0) + 1
+
+    def get_confusion(self, limit=None):
+        """Top-`limit` non-identity confusion pairs + total pair count."""
+        if self.confusion is None:
+            raise RuntimeError('aligner was not configured to count confusion')
+        table = []
+        total = 0
+        for pair, count in self.confusion.items():
+            total += count
+            if pair[0] == pair[1]:
+                continue
+            conf = Confusion(count, pair)
+            length = len(table)
+            idx = bisect_left(table, conf, hi=min(limit or length, length))
+            if limit and idx >= limit:
+                continue
+            table.insert(idx, conf)
+        if limit:
+            table = table[:limit]
+        return table, total
+
+    @staticmethod
+    def get_levenshtein_distance(source_text, target_text):
+        """Raw codepoint edit distance over the max sequence length
+        ("Levenshtein-fast", reference alignment.py:281-290)."""
+        try:
+            from rapidfuzz.distance import Levenshtein
+            dist = Levenshtein.distance(source_text, target_text)
+        except ImportError:  # pragma: no cover
+            dist = _levenshtein(source_text, target_text)
+        return dist, max(len(target_text), len(source_text))
+
+    def get_adjusted_distance(self, source_text, target_text,
+                              normalization=None, gtlevel=1,
+                              return_alignment=False):
+        """Metric family over the alignment path (alignment.py:292-356).
+
+        normalization in {None, 'NFC', 'NFKC', 'historic_latin'}; under
+        historic_latin, L2 replacements apply below GT level 3 and the L1
+        equivalence classes count as distance 0 at GT level 1. Works on
+        strings (CER) and word lists (WER). The denominator is the
+        alignment path length.
+        """
+        def normalize(seq):
+            if isinstance(seq, list):
+                return [normalize(s) for s in seq]
+            if normalization in ('NFC', 'NFKC'):
+                return unicodedata.normalize(normalization, seq)
+            if normalization == 'historic_latin':
+                repl = L2_HISTLAT_EQV if gtlevel < 3 else {}
+                single = {k: v for k, v in repl.items() if len(k) == 1}
+                table = str.maketrans(single)
+                for key, val in repl.items():
+                    if len(key) > 1:
+                        seq = seq.replace(key, val)
+                return seq.translate(table)
+            return seq
+
+        if normalization == 'historic_latin' and gtlevel == 1:
+            equivalences = L1_HISTLAT_EQV
+        else:
+            equivalences = []
+
+        def equivalent(x, y):
+            if isinstance(x, list):
+                return len(x) == len(y) and all(
+                    equivalent(a, b) for a, b in zip(x, y))
+            if x == y:
+                return True
+            return any(x in eqv and y in eqv for eqv in equivalences)
+
+        self.set_seqs(normalize(source_text), normalize(target_text))
+        alignment = self.get_best_alignment(eq=equivalent)
+        dist = float(sum(
+            1 for s, t in alignment if s != t and not equivalent(s, t)))
+        length = len(alignment)
+        if return_alignment:
+            return dist, length, alignment
+        return dist, length
+
+    @staticmethod
+    def best_alignment(source_text, target_text, with_confusion=False):
+        aligner = Alignment(confusion=with_confusion)
+        aligner.set_seqs(source_text, target_text)
+        if with_confusion:
+            return aligner.get_best_alignment(), aligner.get_confusion()
+        return aligner.get_best_alignment()
+
+
+def _levenshtein(a, b):  # pragma: no cover - fallback when rapidfuzz absent
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+class Edits:
+    """Streaming error-rate aggregator with stable parallel merging.
+
+    Tracks length-weighted mean and variance of per-line rates (Chan et
+    al. 1979 update rule, reference alignment.py:419-433), per-token
+    histograms, and the worst ~1% example lines.
+    """
+
+    class Example:
+        def __init__(self, **kwargs):
+            self.mean = 0
+            self.length = 0
+            self.name = ''
+            self.__dict__.update(kwargs)
+
+        def cost(self):
+            return -self.mean * self.length  # inverse order: worst first
+
+        def __repr__(self):
+            return ((f"{self.name}: " if self.name else "")
+                    + f"avg={self.mean} len={self.length}")
+
+        def __lt__(self, other):
+            return self.cost() < other.cost()
+
+        def __le__(self, other):
+            return self.cost() <= other.cost()
+
+        def __eq__(self, other):
+            return self.cost() == other.cost()
+
+        def __gt__(self, other):
+            return self.cost() > other.cost()
+
+        def __ge__(self, other):
+            return self.cost() >= other.cost()
+
+    def __init__(self, logger=None, histogram=False):
+        self.logger = logger or logging.getLogger(__name__)
+        self.length = 0
+        self.mean = 0.0
+        self.varia = 0.0
+        self.score = 0.0
+        self.steps = 0
+        self.hist1 = {'': 0} if histogram else dict()
+        self.hist2 = {'': 0} if histogram else dict()
+        self.worst = []
+
+    def __repr__(self):
+        return 'N=%d µ=%.2f σ²=%.2f' % (self.length, self.mean, self.varia)
+
+    def hist(self):
+        keys = set(self.hist1) | set(self.hist2)
+        return {key: (self.hist1.get(key, 0), self.hist2.get(key, 0))
+                for key in sorted(keys)}
+
+    def update(self, steps, length, mean, varia, hist1, hist2):
+        if length < 1:
+            return
+        self.steps += steps
+        delta = mean - self.mean
+        self.mean = ((length * mean + self.length * self.mean)
+                     / (length + self.length))
+        self.varia = (length * varia + self.length * self.varia
+                      + delta ** 2 * length * self.length
+                      / (length + self.length))
+        self.length += length
+        self.varia /= self.length
+        for tok, n in hist1.items():
+            self.hist1[tok] = n + self.hist1.get(tok, 0)
+        for tok, n in hist2.items():
+            self.hist2[tok] = n + self.hist2.get(tok, 0)
+
+    def add(self, dist, length, seq1, seq2, name=None):
+        hist1, hist2 = dict(), dict()
+        if self.hist1:
+            for tok in seq1:
+                hist1[tok] = 1 + hist1.get(tok, 0)
+        if self.hist2:
+            for tok in seq2:
+                hist2[tok] = 1 + hist2.get(tok, 0)
+        rate = dist / length if length else 0
+        self.update(1, length, rate, 0, hist1, hist2)
+        insort_left(self.worst,
+                    Edits.Example(mean=rate, length=length, name=name))
+        self.worst = self.worst[:max(int(self.steps * 0.01), 10)]
+
+    def merge(self, edits, name_prefix=None):
+        self.update(edits.steps, edits.length, edits.mean, edits.varia,
+                    edits.hist1, edits.hist2)
+        if name_prefix:
+            for example in edits.worst:
+                example.name = name_prefix + example.name
+        self.worst = sorted(chain(self.worst, edits.worst))[
+            :max(int(self.steps * 0.01), 10)]
+
+
+def _unwanted(c):
+    cat = unicodedata.category(c)
+    return cat[0] in 'OMPZS' or cat in ('Cc', 'Cf')
+
+
+def _words(text):
+    """UAX-29-style word segmentation; uses uniseg when available, else a
+    small fallback that splits on category transitions. Tokens consisting
+    only of punctuation/whitespace/symbols are dropped (dinglehopper
+    convention, reference alignment.py:461-486)."""
+    try:
+        import uniseg.wordbreak
+        tokens = uniseg.wordbreak.words(text)
+    except ImportError:
+        tokens = _simple_words(text)
+    for word in tokens:
+        if not all(_unwanted(c) for c in word):
+            yield word
+
+
+def _simple_words(text):
+    """Fallback segmentation: maximal runs of letters/digits/marks with
+    medial apostrophes kept inside (approximating UAX-29 MidLetter)."""
+    MID = {"'", '’', '·', '״', '˗', ':', '.', ','}
+    out = []
+    cur = ''
+    for i, c in enumerate(text):
+        cat = unicodedata.category(c)
+        wordish = cat[0] in 'LN' or cat.startswith('M')
+        if wordish:
+            cur += c
+        elif (cur and c in MID and i + 1 < len(text)
+                and unicodedata.category(text[i + 1])[0] in 'LN'
+                and c not in '.,'):
+            cur += c
+        else:
+            if cur:
+                out.append(cur)
+                cur = ''
+            out.append(c)
+    if cur:
+        out.append(cur)
+    return out
+
+
+def splitwords(text):
+    return list(_words(text))

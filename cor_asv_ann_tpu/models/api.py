@@ -1,0 +1,385 @@
+"""High-level model API mirroring the reference `Sequence2Sequence` class.
+
+Public surface parity with reference lib/seq2seq.py:13-1608: configure /
+load_config / load_weights / load_transfer_weights / save / map_files /
+correct_lines / predict / evaluate / train, with the same knobs (width,
+depth, residual_connections, deep_bidirectional_encoder, bridge_dense,
+beam and rejection parameters, scheduled sampling, LM loss).
+
+TPU-first differences:
+- decode batches are padded to the fixed ``batch_size`` and bucketed
+  lengths so XLA compiles a bounded set of programs,
+- both greedy and beamed decoding run entirely on device (the reference's
+  'fast' flag only switched between batch-parallel and per-line host
+  loops; here greedy is always batch-parallel, so fast==greedy),
+- beam alignments are recorded as per-step window centers (see
+  models/beam.py); they are expanded to one-hot vectors for API parity.
+"""
+
+import logging
+import math
+
+import numpy as np
+
+from ..lib.alignment import Alignment, Edits, splitwords
+from ..utils import io_h5
+from ..utils.data import (CharMapping, GAP, gen_line_batches, scan_files,
+                          vectorize_lines)
+from .beam import BeamParams, decode_beam
+from .config import Seq2SeqConfig, init_params
+from .seq2seq import decode_greedy
+
+
+class Sequence2Sequence:
+    """Character-level seq2seq OCR post-correction on TPU."""
+
+    def __init__(self, logger=None, progbars=True):
+        # model parameters (reference seq2seq.py:108-179)
+        self.batch_size = 256
+        self.stateful = False
+        self.width = 512
+        self.depth = 2
+        self.mapping = CharMapping()
+        self.residual_connections = False
+        self.deep_bidirectional_encoder = False
+        self.bridge_dense = False
+        # training parameters
+        self.epochs = 100
+        self.lm_loss = False
+        self.lm_predict = False
+        self.scheduled_sampling = None
+        self.dropout = 0.2
+        # beam decoder parameters
+        self.rejection_threshold = 0.3
+        self.beam_width_in = 15
+        self.beam_threshold_in = 0.2
+        self.beam_width_out = 16
+        # runtime
+        self.logger = logger or logging.getLogger(__name__)
+        self.progbars = progbars
+        self.aligner = Alignment(0, logger=self.logger)
+        self.config = None
+        self.params = None
+        self.status = 0
+
+    @property
+    def voc_size(self):
+        return self.mapping.voc_size
+
+    def __repr__(self):
+        return (__name__
+                + " (width: %d)" % self.width
+                + " (depth: %d)" % self.depth
+                + " (chars: %d)" % self.voc_size
+                + " (attention)"
+                + (" (stateful)" if self.stateful else " (stateless)")
+                + " status: %s" % ("empty" if self.status < 1 else
+                                   "configured" if self.status < 2 else
+                                   "trained"))
+
+    # ------------------------------------------------------------------
+    # configuration & persistence
+
+    def configure(self, batch_size=None):
+        if batch_size:
+            self.batch_size = batch_size
+        self.config = Seq2SeqConfig(
+            width=int(self.width), depth=int(self.depth),
+            voc_size=self.voc_size,
+            residual_connections=bool(self.residual_connections),
+            deep_bidirectional_encoder=bool(self.deep_bidirectional_encoder),
+            bridge_dense=bool(self.bridge_dense),
+            dropout=float(self.dropout), stateful=bool(self.stateful))
+        if self.params is None or self.status < 2:
+            self.params = init_params(self.config)
+        self.logger.info(
+            'TPU model of depth %d width %d size %d with attention',
+            self.depth, self.width, self.voc_size)
+        self.status = max(self.status, 1)
+
+    def _reconfigure_for_mapping(self, old_voc_size):
+        """Rebuild after vocabulary growth, transferring embedding rows
+        (reference seq2seq.py:499-525)."""
+        old_params = self.params if self.status >= 2 else None
+        status = self.status
+        self.status = min(self.status, 1)
+        self.params = None
+        self.configure()
+        if old_params is not None:
+            new_params = self.params
+            for key in ('char_embedding',):
+                new_kernel = np.array(new_params[key]['kernel'])
+                old_kernel = np.asarray(old_params[key]['kernel'])
+                new_kernel[:old_voc_size] = old_kernel
+                new_params[key]['kernel'] = new_kernel
+            # all other weights are shape-independent of voc_size
+            for key in ('attention_dense', 'encoder', 'decoder', 'bridge'):
+                if key in old_params:
+                    new_params[key] = old_params[key]
+            self.params = new_params
+            self.status = status
+
+    def map_files(self, filenames, charmap=None):
+        chars, num_lines = scan_files(filenames, charmap=charmap)
+        new_mapping, grew = self.mapping.grow([''.join(chars)])
+        if grew:
+            old_voc = self.voc_size
+            # remap embedding rows from old indices to new
+            old_mapping = self.mapping
+            self.mapping = new_mapping
+            if self.status >= 1:
+                if self.status >= 2 and self.params is not None:
+                    old_kernel = np.asarray(
+                        self.params['char_embedding']['kernel'])
+                    self._reconfigure_for_mapping(0)
+                    kernel = np.array(self.params['char_embedding']['kernel'])
+                    for char, old_idx in old_mapping.c2i.items():
+                        new_idx = self.mapping.get(char)
+                        kernel[new_idx] = old_kernel[old_idx]
+                    self.params['char_embedding']['kernel'] = kernel
+                else:
+                    self._reconfigure_for_mapping(old_voc)
+        return num_lines
+
+    def save(self, filename):
+        assert self.status > 1
+        self.logger.info('Saving model under "%s"', filename)
+        io_h5.save_model(filename, self.params, self.config, self.mapping)
+
+    def load_config(self, filename):
+        config, mapping = io_h5.load_config(filename)
+        self.width = config.width
+        self.depth = config.depth
+        self.stateful = config.stateful
+        self.residual_connections = config.residual_connections
+        self.deep_bidirectional_encoder = config.deep_bidirectional_encoder
+        self.bridge_dense = config.bridge_dense
+        self.mapping = mapping
+
+    def load_weights(self, filename):
+        assert self.status > 0
+        self.logger.info('Loading model from "%s"', filename)
+        self.params = io_h5.load_weights(filename, self.config,
+                                         logger=self.logger)
+        self.status = 2
+
+    def load_transfer_weights(self, filename):
+        assert self.status > 0
+        assert self.depth > 1
+        self.logger.info('Transferring model from "%s"', filename)
+        params, mapping, frozen = io_h5.load_transfer_weights(
+            filename, self.params, self.config, logger=self.logger)
+        if mapping is not None and mapping.c2i != self.mapping.c2i:
+            self.mapping = mapping
+            self.configure()
+            params, _, frozen = io_h5.load_transfer_weights(
+                filename, self.params, self.config, logger=self.logger)
+        self.params = params
+        self.frozen_layers = frozen
+        self.status = 1
+
+    # ------------------------------------------------------------------
+    # inference
+
+    def _beam_params(self):
+        return BeamParams(
+            reservoir=max(4 * self.beam_width_in, 64),
+            expand=16,
+            beam_width_in=int(self.beam_width_in),
+            beam_threshold_in=float(self.beam_threshold_in),
+            beam_width_out=int(self.beam_width_out),
+            rejection_threshold=float(self.rejection_threshold))
+
+    def correct_lines(self, lines, conf=None, fast=True, greedy=True):
+        """Correct text strings (reference seq2seq.py:782-842).
+
+        Returns (output_lines, probability lists, perplexity scores,
+        alignments). Both decoders run fully on device; `fast` and
+        `greedy` both map to greedy decoding (their split in the
+        reference was a host-scheduling artifact), otherwise beam.
+        """
+        assert not fast or greedy, \
+            'cannot decode in fast mode with beam search enabled'
+        if not lines:
+            return [], [], [], []
+        out_lines, out_probs, out_scores, out_aligns = [], [], [], []
+        B = self.batch_size
+        for i in range(0, len(lines), B):
+            chunk = lines[i:i + B]
+            chunk_conf = conf[i:i + B] if conf else None
+            n = len(chunk)
+            if n < B and len(lines) > B:
+                chunk = chunk + [''] * (B - n)
+                if chunk_conf:
+                    chunk_conf = chunk_conf + [[]] * (B - n)
+            res = self._correct_batch(chunk, chunk_conf, greedy)
+            for j in range(n):
+                out_lines.append(res[0][j])
+                out_probs.append(res[1][j])
+                out_scores.append(res[2][j])
+                out_aligns.append(res[3][j])
+        return out_lines, out_probs, out_scores, out_aligns
+
+    def _correct_batch(self, lines, conf, greedy):
+        enc, _, _, _ = vectorize_lines(
+            self.mapping, lines, ['' for _ in lines], confs=conf,
+            logger=self.logger)
+        newline = self.mapping.get('\n')
+        B, T, V = enc.shape
+        if greedy:
+            idx, prob, length, score, aligns = decode_greedy(
+                self.params, self.config, enc, newline,
+                return_alignments=True)
+            idx = np.asarray(idx)
+            prob = np.asarray(prob)
+            length = np.asarray(length)
+            score = np.asarray(score)
+            aligns = np.asarray(aligns)
+            out_lines, out_probs, out_scores, out_aligns = [], [], [], []
+            for j in range(len(lines)):
+                L = int(length[j])
+                text = ''.join(self.mapping.i2c[int(i)]
+                               for i in idx[j, :L])
+                out_lines.append(text.replace(GAP, ''))
+                out_probs.append(prob[j, :L].tolist())
+                out_scores.append(float(score[j]))
+                out_aligns.append(aligns[j, :L].tolist())
+            return out_lines, out_probs, out_scores, out_aligns
+        # beam
+        src_len = np.array(
+            [self._source_length(l, c)
+             for l, c in zip(lines, conf or [None] * len(lines))],
+            np.int32)
+        out = decode_beam(self.params, self.config, self._beam_params(),
+                          enc, newline, src_len)
+        out = {k: np.asarray(v) for k, v in out.items()}
+        out_lines, out_probs, out_scores, out_aligns = [], [], [], []
+        for j, input_line in enumerate(lines):
+            if not input_line:
+                out_lines.append('')
+                out_probs.append([])
+                out_scores.append(0)
+                out_aligns.append([])
+                continue
+            if out['count'][j] == 0:
+                self.logger.error('cannot beam-decode input line %d: "%s"',
+                                  j, input_line)
+                text = self._echo_line(input_line)
+                out_lines.append(text.replace(GAP, ''))
+                out_probs.append([1.0] * len(text))
+                out_scores.append(0)
+                out_aligns.append(np.eye(len(text)).tolist())
+                continue
+            L = int(out['length'][j, 0])
+            text = ''.join(self.mapping.i2c[int(i)]
+                           for i in out['idx'][j, 0, :L])
+            out_lines.append(text.replace(GAP, ''))
+            out_probs.append(out['prob'][j, 0, :L].tolist())
+            out_scores.append(float(out['cum'][j, 0] / max(L, 1)))
+            centers = out['align_pos'][j, 0, :L]
+            align = np.eye(T, dtype=np.float32)[
+                np.clip(centers, 0, T - 1)]
+            out_aligns.append(align.tolist())
+        return out_lines, out_probs, out_scores, out_aligns
+
+    @staticmethod
+    def _source_length(line, conf=None):
+        if conf and isinstance(conf[0], list):  # confmat
+            return sum(max((len(alt[0]) for alt in chunk), default=0)
+                       for chunk in conf)
+        return len(line)
+
+    @staticmethod
+    def _echo_line(input_line):
+        if isinstance(input_line, (list, tuple)) and input_line and \
+                isinstance(input_line[0], tuple):
+            return ''.join(chunk[0] for chunk in input_line)
+        return input_line
+
+    def predict(self, filenames, fast=False, greedy=False, charmap=None):
+        """Apply the model to text files, yielding per batch
+        (filenames, corrected lines, scores) — reference seq2seq.py:756-780."""
+        assert self.status == 2
+        for batch in gen_line_batches(filenames, self.batch_size,
+                                      repeat=False, unsupervised=True,
+                                      charmap=charmap):
+            lines_source, lines_conf, _, lines_filename = batch
+            lines_result, _, scores_result, _ = self.correct_lines(
+                lines_source, lines_conf, fast=fast, greedy=greedy)
+            yield (lines_filename, lines_result, scores_result)
+
+    def evaluate(self, filenames, fast=False, normalization='historic_latin',
+                 charmap=None, gt_level=1, confusion=10, histogram=True):
+        """Evaluate greedy+beamed CER/WER/perplexity on text files
+        (reference seq2seq.py:651-754). Returns a result dict."""
+        assert self.status == 2
+        counts = {k: Edits(self.logger, histogram=histogram and k[0] == 'c')
+                  for k in (('c', 'OCR'), ('w', 'OCR'), ('c', 'greedy'),
+                            ('w', 'greedy'), ('c', 'beamed'), ('w', 'beamed'))}
+        aligners = {k: Alignment(0, logger=self.logger,
+                                 confusion=confusion > 0 and k[0] == 'c')
+                    for k in counts}
+        for batch in gen_line_batches(filenames, self.batch_size,
+                                      repeat=False, charmap=charmap):
+            sources, confs, targets, _ = batch
+            greedy_lines, _, greedy_scores, _ = self.correct_lines(
+                sources, confs, fast=fast, greedy=True)
+            if fast:
+                beamed_lines, beamed_scores = greedy_lines, greedy_scores
+            else:
+                beamed_lines, _, beamed_scores, _ = self.correct_lines(
+                    sources, confs, fast=False, greedy=False)
+            for j, (src, tgt) in enumerate(zip(sources, targets)):
+                if not src or not tgt:
+                    continue
+                self.logger.info('Source input              : %s',
+                                 src.rstrip('\n'))
+                self.logger.info('Target output             : %s',
+                                 tgt.rstrip('\n'))
+                self.logger.info('Target prediction (greedy): %s [%.2f]',
+                                 greedy_lines[j].rstrip('\n'),
+                                 greedy_scores[j])
+                self.logger.info('Target prediction (beamed): %s [%.2f]',
+                                 beamed_lines[j].rstrip('\n'),
+                                 beamed_scores[j])
+                for kind, line in (('OCR', src), ('greedy', greedy_lines[j]),
+                                   ('beamed', beamed_lines[j])):
+                    dist, length = aligners[('c', kind)].get_adjusted_distance(
+                        line, tgt, normalization=normalization,
+                        gtlevel=gt_level)
+                    counts[('c', kind)].add(dist, length, line, tgt)
+                    wsrc, wtgt = splitwords(line), splitwords(tgt)
+                    dist, length = aligners[('w', kind)].get_adjusted_distance(
+                        wsrc, wtgt, normalization=normalization,
+                        gtlevel=gt_level)
+                    counts[('w', kind)].add(dist, length, wsrc, wtgt)
+            counts[('c', 'greedy')].score += sum(greedy_scores)
+            counts[('c', 'beamed')].score += sum(beamed_scores)
+
+        result = {}
+        self.logger.info('finished %d lines', counts[('c', 'OCR')].steps)
+        for kind in ('OCR', 'greedy', 'beamed'):
+            c, w = counts[('c', kind)], counts[('w', kind)]
+            result[kind] = {
+                'cer': c.mean, 'cer_stddev': math.sqrt(c.varia),
+                'wer': w.mean, 'wer_stddev': math.sqrt(w.varia),
+            }
+            if confusion > 0:
+                table, _ = aligners[('c', kind)].get_confusion(confusion)
+                result[kind]['confusion'] = [
+                    (conf.count, conf.pair) for conf in table]
+            if histogram:
+                result[kind]['histogram'] = c.hist()
+            if kind != 'OCR' and c.length:
+                result[kind]['perplexity'] = math.exp(c.score / c.length)
+            self.logger.info('CER %s: %.3f±%.3f  WER %s: %.3f±%.3f',
+                             kind, c.mean, math.sqrt(c.varia),
+                             kind, w.mean, math.sqrt(w.varia))
+        return result
+
+    # training is provided by models/train.py (Trainer.train) and bound
+    # here lazily to keep JAX-optimizer imports off the inference path
+    def train(self, filenames, val_filenames=None, checkpoint_dir='.'):
+        from .train import train_model
+        return train_model(self, filenames, val_filenames,
+                           checkpoint_dir=checkpoint_dir)

@@ -1,0 +1,324 @@
+"""Training: jitted train step + autosized-epoch loop.
+
+Reproduces the reference training regime (lib/seq2seq.py:590-649,
+lib/keras_train.py:27-296) on TPU:
+
+- categorical crossentropy with temporal sample weights (Keras semantics:
+  sum(loss*w)/count(w != 0); seq2seq.py:491-497),
+- Adam with *per-tensor* gradient norm clipping at 5 (Keras `clipnorm`),
+  lr 1e-3, eps 1e-7,
+- the underspecification regularizer on the character embedding: pull
+  vector 0 to the (gradient-stopped) mean of the others, plus 0.01-weight
+  unit-norm penalty on all rows; active in training only
+  (seq2seq.py:530-553),
+- random encoder degradation: ~1% of lines get one position zeroed to
+  index 0 per batch (seq2seq.py:909-915),
+- scheduled sampling with linear/sigmoid/exponential ratio curves and
+  attenuation 3 (seq2seq.py:859-878); sampled lines get their teacher
+  input replaced by the greedy-decoded output. Note: the reference
+  actually fed the recorded feedback scores truncated through a uint32
+  buffer (effectively zeros, seq2seq.py:1236-1252); we feed one-hot
+  greedy outputs, matching the intent documented in seq2seq.py:1251,
+- epochs are *discovered, not declared*: the generator yields an epoch
+  marker, the first epoch measures the step count (keras_train.py:27-296),
+- early stopping (patience 3, restore best weights), NaN termination,
+  per-epoch weight checkpoints, graceful SIGINT stop
+  (seq2seq.py:619-624, lib/callbacks.py:5-33),
+- optional LM multi-task loss: a second unconditioned decoder pass with
+  tied weights, summed loss (seq2seq.py:321-322, 383-385).
+"""
+
+import functools
+import math
+import signal
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..utils.data import gen_line_batches, vectorize_lines
+from .seq2seq import forward_teacher, decode_greedy
+
+
+def clip_per_tensor_norm(max_norm):
+    """Keras-style `clipnorm`: clip each gradient tensor to max_norm."""
+    def init_fn(params):
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        def clip(g):
+            norm = jnp.sqrt(jnp.sum(jnp.square(g)))
+            scale = jnp.minimum(1.0, max_norm / jnp.maximum(norm, 1e-12))
+            return g * scale
+        return jax.tree_util.tree_map(clip, updates), state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def make_optimizer(learning_rate=1e-3):
+    return optax.chain(
+        clip_per_tensor_norm(5.0),
+        optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-7),
+        optax.scale(-learning_rate))
+
+
+def embedding_regularizer(kernel):
+    """Underspecification + unit-norm regularizer (seq2seq.py:530-553)."""
+    vec0 = kernel[0]
+    vecs = jax.lax.stop_gradient(jnp.mean(kernel[1:], axis=0))
+    underspec = jnp.sum(jnp.square(vec0 - vecs))
+    norms = jnp.sum(jnp.square(kernel), axis=1)
+    lowrank = 0.01 * jnp.sum(jnp.square(1.0 - norms))
+    return underspec + lowrank
+
+
+def weighted_xent(probs, targets, weights):
+    """Keras categorical crossentropy with temporal sample weights."""
+    eps = 1e-7
+    ll = -jnp.sum(targets * jnp.log(jnp.clip(probs, eps, 1.0)), axis=-1)
+    denom = jnp.maximum(jnp.sum(weights != 0), 1)
+    return jnp.sum(ll * weights) / denom
+
+
+@functools.partial(jax.jit, static_argnames=('config', 'lm_loss'))
+def loss_fn(params, config, enc, dec_in, dec_out, weights, rng,
+            lm_loss=False):
+    out = forward_teacher(params, config, enc, dec_in, dropout_rng=rng,
+                          train=True, lm=lm_loss)
+    if lm_loss:
+        probs, lm_probs = out
+        loss = (weighted_xent(probs, dec_out, weights)
+                + weighted_xent(lm_probs, dec_out, weights))
+    else:
+        loss = weighted_xent(out, dec_out, weights)
+    return loss + embedding_regularizer(params['char_embedding']['kernel'])
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('config', 'lm_loss', 'optimizer'))
+def train_step(params, opt_state, config, enc, dec_in, dec_out, weights,
+               rng, frozen_mask=None, lm_loss=False, optimizer=None):
+    loss, grads = jax.value_and_grad(loss_fn)(
+        params, config, enc, dec_in, dec_out, weights, rng, lm_loss)
+    if frozen_mask is not None:
+        grads = jax.tree_util.tree_map(
+            lambda g, m: g * m, grads, frozen_mask)
+    updates, opt_state = optimizer.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    return params, opt_state, loss
+
+
+@functools.partial(jax.jit, static_argnames=('config', 'lm_loss'))
+def eval_step(params, config, enc, dec_in, dec_out, weights,
+              lm_loss=False):
+    out = forward_teacher(params, config, enc, dec_in, train=False,
+                          lm=lm_loss)
+    if lm_loss:
+        probs, lm_probs = out
+        return (weighted_xent(probs, dec_out, weights)
+                + weighted_xent(lm_probs, dec_out, weights))
+    return weighted_xent(out, dec_out, weights)
+
+
+def sample_ratio(schedule, epoch, epochs):
+    """Scheduled-sampling ratio curves (seq2seq.py:859-878)."""
+    attenuation = 3
+    if schedule == 'linear':
+        return attenuation * (epoch - 1) / (epochs - 1)
+    if schedule == 'sigmoid':
+        return 1 / (1 + math.exp(5 - 10 * attenuation * epoch / epochs))
+    if schedule == 'exponential':
+        return 1 - 0.9 ** (50 * attenuation * epoch / epochs)
+    raise ValueError('unknown scheduled sampling curve %r' % schedule)
+
+
+def frozen_gradient_mask(params, frozen_layers, depth):
+    """1/0 multiplier pytree for transfer-frozen layers
+    (reference freezes encoder/decoder_lstm_1..depth-1; seq2seq.py:1206-1211)."""
+    mask = jax.tree_util.tree_map(lambda x: jnp.ones(()), params)
+    for name in frozen_layers:
+        kind, _, num = name.rpartition('_')
+        n = int(num) - 1
+        if kind == 'encoder_lstm':
+            mask['encoder'][n] = jax.tree_util.tree_map(
+                lambda x: jnp.zeros(()), mask['encoder'][n])
+        elif kind == 'decoder_lstm':
+            mask['decoder'][n] = jax.tree_util.tree_map(
+                lambda x: jnp.zeros(()), mask['decoder'][n])
+    return mask
+
+
+class StopSignal:
+    """First SIGINT: stop after the current epoch; second: re-raise
+    (reference StopSignalCallback, lib/callbacks.py:5-33)."""
+
+    def __init__(self, logger):
+        self.logger = logger
+        self.stopping = False
+        self._prev = None
+
+    def __enter__(self):
+        def handler(sig, frame):
+            if self.stopping:
+                raise KeyboardInterrupt
+            self.logger.info('stopping training at end of epoch '
+                             '(interrupt again to abort)')
+            self.stopping = True
+        try:
+            self._prev = signal.signal(signal.SIGINT, handler)
+        except ValueError:  # not in main thread
+            self._prev = None
+        return self
+
+    def __exit__(self, *exc):
+        if self._prev is not None:
+            signal.signal(signal.SIGINT, self._prev)
+        return False
+
+
+def train_model(s2s, filenames, val_filenames=None, checkpoint_dir='.'):
+    """Full training orchestration for a Sequence2Sequence instance
+    (reference seq2seq.py:590-649)."""
+    logger = s2s.logger
+    num_lines = s2s.map_files(filenames)
+    logger.info('Training on %d files with %d lines', len(filenames),
+                num_lines)
+    if val_filenames:
+        s2s.map_files(val_filenames)
+        split = None
+    else:
+        logger.info('Validating on random 20%% of lines')
+        split = np.random.uniform(0, 1, (num_lines,))
+
+    config = s2s.config
+    params = s2s.params
+    optimizer = make_optimizer()
+    opt_state = optimizer.init(params)
+    frozen = getattr(s2s, 'frozen_layers', None)
+    fmask = (frozen_gradient_mask(params, frozen, config.depth)
+             if frozen else None)
+    rng = jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
+    newline = s2s.mapping.get('\n')
+
+    def is_bad(src, tgt):
+        s2s.aligner.set_seqs(src, tgt)
+        return s2s.aligner.is_bad()
+
+    best_loss = np.inf
+    best_params = params
+    patience = 3
+    bad_epochs = 0
+    history = {'loss': [], 'val_loss': []}
+    with StopSignal(logger) as stop:
+        for epoch in range(1, s2s.epochs + 1):
+            ratio = (sample_ratio(s2s.scheduled_sampling, epoch, s2s.epochs)
+                     if s2s.scheduled_sampling else 0.0)
+            losses = []
+            gen = gen_line_batches(filenames, s2s.batch_size, repeat=False,
+                                   split=split, train=True, is_bad=is_bad)
+            for batch in gen:
+                if batch is None:
+                    break
+                sources, confs, targets, _ = batch
+                enc, dec_in, dec_out, w = vectorize_lines(
+                    s2s.mapping, sources, targets, confs=confs,
+                    logger=logger)
+                if ratio > 0:
+                    dec_in = _scheduled_sample(
+                        params, config, s2s.mapping, enc, dec_in, ratio,
+                        newline)
+                enc = _degrade_encoder(enc)
+                rng, sub = jax.random.split(rng)
+                params, opt_state, loss = train_step(
+                    params, opt_state, config, enc, dec_in, dec_out, w,
+                    sub, frozen_mask=fmask, lm_loss=s2s.lm_loss,
+                    optimizer=optimizer)
+                losses.append(float(loss))
+                if stop.stopping:
+                    break
+            if not losses:
+                logger.critical('training failed: no data')
+                s2s.status = 1
+                return history
+            train_loss = float(np.mean(losses))
+
+            val_losses = []
+            vgen = gen_line_batches(val_filenames or filenames,
+                                    s2s.batch_size, repeat=False,
+                                    split=split, train=False)
+            for batch in vgen:
+                if batch is None:
+                    break
+                sources, confs, targets, _ = batch
+                enc, dec_in, dec_out, w = vectorize_lines(
+                    s2s.mapping, sources, targets, confs=confs,
+                    logger=logger)
+                val_losses.append(float(eval_step(
+                    params, config, enc, dec_in, dec_out, w,
+                    lm_loss=s2s.lm_loss)))
+            val_loss = float(np.mean(val_losses)) if val_losses else train_loss
+            history['loss'].append(train_loss)
+            history['val_loss'].append(val_loss)
+            logger.info('epoch %d loss %.4f val_loss %.4f', epoch,
+                        train_loss, val_loss)
+
+            if checkpoint_dir is not None:
+                try:
+                    from ..utils import io_h5
+                    io_h5.save_model(
+                        '%s/model.ckpt.weights-%02d-%.2f.h5'
+                        % (checkpoint_dir, epoch, val_loss),
+                        params, config, s2s.mapping)
+                except Exception as err:  # pragma: no cover
+                    logger.warning('cannot checkpoint: %s', err)
+
+            if np.isnan(train_loss) or np.isnan(val_loss):
+                logger.warning('NaN loss, terminating')
+                break
+            if val_loss < best_loss:
+                best_loss = val_loss
+                best_params = params
+                bad_epochs = 0
+            else:
+                bad_epochs += 1
+                if bad_epochs >= patience:
+                    logger.info('early stopping (patience %d)', patience)
+                    break
+            if stop.stopping:
+                break
+
+    s2s.params = best_params
+    s2s.status = 2
+    logger.info('training finished with val_loss %f', best_loss)
+    return history
+
+
+def _degrade_encoder(enc):
+    """Zero ~1% of lines' one random position to index 0
+    (seq2seq.py:909-915)."""
+    B, T, V = enc.shape
+    u = np.random.uniform(0, 1, B)
+    pos = (T * u / 0.01).astype(int)
+    hit = pos < T
+    enc = np.array(enc)
+    enc[np.arange(B)[hit], pos[hit], :] = np.eye(V, dtype=enc.dtype)[0]
+    return enc
+
+
+def _scheduled_sample(params, config, mapping, enc, dec_in, ratio, newline):
+    """Replace a random subset of lines' teacher input with the greedy
+    decoder's own output, one-hot encoded and shifted right."""
+    B, Td, V = dec_in.shape
+    pick = np.random.uniform(0, 1, B) < ratio
+    if not pick.any():
+        return dec_in
+    idx, _, length, _, _ = decode_greedy(params, config, enc, newline,
+                                         max_steps=Td - 1)
+    idx = np.asarray(idx)[:, :Td - 1]
+    sampled = np.zeros_like(dec_in)
+    rows = np.repeat(np.arange(B), Td - 1)
+    cols = np.tile(np.arange(1, Td), B)
+    sampled[rows, cols, idx.reshape(-1)] = 1.0
+    sampled[:, :, 0] = 0  # never feed underspecification
+    return np.where(pick[:, None, None], sampled, dec_in)
