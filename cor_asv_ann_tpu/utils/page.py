@@ -75,8 +75,10 @@ class PageElement:
             if _local(e.tag) != 'TextEquiv':
                 continue
             uni = e.find(self._q('Unicode'))
-            out.append(TextEquiv(e, self.doc,
-                                 uni.text if uni is not None else None))
+            te = TextEquiv(e, self.doc,
+                           uni.text if uni is not None else None)
+            te.parent = self
+            out.append(te)
         return out
 
     def get_text(self, index=None):
@@ -105,6 +107,7 @@ class PageElement:
         uni = ET.SubElement(te_el, self._q('Unicode'))
         uni.text = text
         te = TextEquiv(te_el, self.doc, text)
+        te.parent = self
         if conf is not None:
             te.conf = conf
         if index is not None:
@@ -168,6 +171,7 @@ class TextEquiv:
     def __init__(self, elem, doc, text):
         self.elem = elem
         self.doc = doc
+        self.parent = None
         self._text = text
 
     def _q(self, tag):
