@@ -242,16 +242,19 @@ def _alignment2path(alignment, i_max, j_max, min_score):
             if i > 0 and j > 0:
                 best = max(best, viterbi[i - 1, j - 1])
             viterbi[i, j] = alignment[j, i] + best
-    # backward pass from the best end point
+    # backward pass from the best end point: when lengths differ, search
+    # the best end among the last few rows/cols (negative-slice semantics
+    # like the reference, transcode.py:320-324)
     if i_max <= j_max:
         i = i_max - 1
-        j = j_max - 1 if j_max <= i_max else max(
-            0, i_max - 2 + int(np.argmax(viterbi[i_max - 1,
-                                                 max(i_max - j_max - 2, 0):])))
     else:
         i = max(0, j_max - 2 + int(
-            np.argmax(viterbi[max(j_max - i_max - 2, 0):, j_max - 1])))
+            np.argmax(viterbi[j_max - i_max - 2:, j_max - 1])))
+    if j_max <= i_max:
         j = j_max - 1
+    else:
+        j = max(0, i_max - 2 + int(
+            np.argmax(viterbi[i_max - 1, i_max - j_max - 2:])))
     dist = 0.0
     realignment = {i_max: j_max}
     while i >= 0 and j >= 0:
