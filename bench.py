@@ -1,0 +1,94 @@
+"""Benchmark: on-device greedy decode throughput vs reference-style baseline.
+
+Measures lines/sec of the flagship configuration (depth 2, width 512 —
+the reference's pretrained topology, SURVEY.md 6) decoding realistic OCR
+lines greedily on one TPU chip, fully on-device.
+
+The baseline denominator re-creates the reference's execution structure
+(one host round trip per character through the same math,
+lib/seq2seq.py:1243-1246) using the NumPy golden-reference model on the
+host CPU, measured on a reduced batch and extrapolated per line. This is
+the same role TF1's CPU session filled for the reference.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def build(width=512, depth=2, voc=96):
+    from cor_asv_ann_tpu.models.config import Seq2SeqConfig, init_params
+    from cor_asv_ann_tpu.utils.data import CharMapping
+    chars = ''.join(chr(c) for c in range(32, 32 + voc - 2)) + '\n'
+    mapping = CharMapping.from_texts([chars])
+    config = Seq2SeqConfig(width=width, depth=depth,
+                           voc_size=mapping.voc_size)
+    params = init_params(config, seed=0)
+    # sharpen the output so decoding terminates like a trained model
+    params['char_embedding']['kernel'] *= 200.0
+    return config, mapping, params
+
+
+def make_lines(mapping, batch, length, pad):
+    rng = np.random.default_rng(1)
+    V = mapping.voc_size
+    enc = np.zeros((batch, pad, V), np.float32)
+    for b in range(batch):
+        idx = rng.integers(1, V - 1, length - 1)
+        enc[b, np.arange(length - 1), idx] = 1.0
+        enc[b, length - 1, mapping.get('\n')] = 1.0
+    return enc
+
+
+def bench_tpu(params, config, mapping, enc, repeats=5):
+    import jax
+    from cor_asv_ann_tpu.models.seq2seq import decode_greedy
+    newline = mapping.get('\n')
+    out = decode_greedy(params, config, enc, newline)
+    jax.block_until_ready(out[0])  # compile
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = decode_greedy(params, config, enc, newline)
+        jax.block_until_ready(out[0])
+        times.append(time.perf_counter() - t0)
+    return enc.shape[0] / min(times)
+
+
+def bench_baseline(params, config, mapping, enc, sample=4, max_steps=24):
+    """Reference-structure decode (host loop per character) on a small
+    sample, extrapolated to full decode length per line."""
+    from cor_asv_ann_tpu.lib import numpy_ref
+    cfg = config.as_dict()
+    sub = enc[:sample]
+    t0 = time.perf_counter()
+    numpy_ref.decode_batch_greedy(params, cfg, mapping, sub,
+                                  max_steps=max_steps)
+    dt = time.perf_counter() - t0
+    # full decode runs 2*T steps over the whole batch; scale measured
+    # per-step-per-line cost accordingly (batch-linear matmul cost)
+    full_steps = 2 * enc.shape[1]
+    per_line = dt / sample * (full_steps / max_steps)
+    return 1.0 / per_line
+
+
+def main():
+    config, mapping, params = build()
+    batch, length, pad = 256, 60, 64
+    enc = make_lines(mapping, batch, length, pad)
+    lines_per_sec = bench_tpu(params, config, mapping, enc)
+    baseline = bench_baseline(params, config, mapping, enc)
+    print(json.dumps({
+        'metric': 'greedy_decode_throughput_d2w512',
+        'value': round(lines_per_sec, 2),
+        'unit': 'lines/sec/chip',
+        'vs_baseline': round(lines_per_sec / baseline, 2),
+    }))
+
+
+if __name__ == '__main__':
+    sys.exit(main())

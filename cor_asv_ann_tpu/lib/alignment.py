@@ -260,12 +260,20 @@ class Alignment:
     @staticmethod
     def get_levenshtein_distance(source_text, target_text):
         """Raw codepoint edit distance over the max sequence length
-        ("Levenshtein-fast", reference alignment.py:281-290)."""
+        ("Levenshtein-fast", reference alignment.py:281-290).
+
+        Backends in preference order: rapidfuzz (C++), the first-party
+        native editops library (C++), pure Python."""
         try:
             from rapidfuzz.distance import Levenshtein
             dist = Levenshtein.distance(source_text, target_text)
         except ImportError:  # pragma: no cover
-            dist = _levenshtein(source_text, target_text)
+            from . import native
+            if (native.available() and isinstance(source_text, str)
+                    and isinstance(target_text, str)):
+                dist = native.lev_distance(source_text, target_text)
+            else:
+                dist = _levenshtein(source_text, target_text)
         return dist, max(len(target_text), len(source_text))
 
     def get_adjusted_distance(self, source_text, target_text,
