@@ -95,6 +95,30 @@ class CharMapping:
             chars.update(t)
         return cls(chars)
 
+    def lut(self):
+        """Codepoint -> index lookup table (unmapped -> 0), cached.
+
+        Enables vectorized encoding: utf-32 decode + one array gather
+        instead of a Python loop per character."""
+        if getattr(self, '_lut', None) is None or \
+                self._lut_size != self.voc_size:
+            max_code = max((ord(c) for c in self.c2i if c), default=0)
+            lut = np.zeros(max_code + 2, np.int32)
+            for c, i in self.c2i.items():
+                if c:
+                    lut[ord(c)] = i
+            self._lut = lut
+            self._lut_size = self.voc_size
+        return self._lut
+
+    def encode(self, text):
+        """Vectorized char->index array for `text` (unmapped -> 0)."""
+        if not text:
+            return np.zeros(0, np.int32)
+        codes = np.frombuffer(text.encode('utf-32-le'), dtype=np.uint32)
+        lut = self.lut()
+        return lut[np.minimum(codes, len(lut) - 1)]
+
     def grow(self, texts):
         """Return a new mapping including all chars of `texts` (sorted afresh,
         like the reference's incremental map_files) and whether it grew."""
@@ -282,16 +306,26 @@ def vectorize_lines(mapping, sources, targets, confs=None,
                         enc[i, j + k, _idx(char, f'encoder line {i}')] = conf
                 j += max_chars
         else:
-            for j, char in enumerate(sources[i]):
-                idx = _idx(char, f'encoder line {i}')
-                if confs is not None and confs[i]:
-                    enc[i, j, idx] = confs[i][j]
-                else:
-                    enc[i, j, idx] = 1.0
-        for j, char in enumerate(targets[i]):
-            idx = _idx(char, f'decoder line {i}')
-            dec_in[i, j + 1, idx] = 1.0
-            dec_out[i, j, idx] = 1.0
+            idx = mapping.encode(sources[i])
+            if logger is not None and (idx == 0).any():
+                for k in np.nonzero(idx == 0)[0]:
+                    if sources[i][k] != GAP:
+                        logger.error('unmapped character "%s" at encoder '
+                                     'input sequence %d', sources[i][k], i)
+            pos = np.arange(len(idx))
+            if confs is not None and confs[i]:
+                enc[i, pos, idx] = np.asarray(confs[i], np.float32)
+            else:
+                enc[i, pos, idx] = 1.0
+        idx = mapping.encode(targets[i])
+        if logger is not None and (idx == 0).any():
+            for k in np.nonzero(idx == 0)[0]:
+                if targets[i][k] != GAP:
+                    logger.error('unmapped character "%s" at decoder '
+                                 'input sequence %d', targets[i][k], i)
+        pos = np.arange(len(idx))
+        dec_in[i, pos + 1, idx] = 1.0
+        dec_out[i, pos, idx] = 1.0
 
     weights = np.ones(dec_out.shape[:2], dtype=np.float32)
     weights[np.all(dec_out == 0, axis=2)] = 0.0

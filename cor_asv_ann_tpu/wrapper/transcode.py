@@ -29,6 +29,30 @@ from .base import PageProcessor, processor_cli
 GAP = '\a'
 
 
+def resolve_resource(name):
+    """Resolve a model file name against CWD, $CORASVANN_DATA and the
+    user's data directory (reference resolves via OCR-D resmgr with the
+    CORASVANN_DATA override, README.md:409)."""
+    import os
+    if os.path.isabs(name) and os.path.exists(name):
+        return name
+    candidates = [
+        name,
+        os.path.join(os.environ.get('CORASVANN_DATA', ''), name),
+        os.path.join(os.path.expanduser('~/.local/share/cor-asv-ann'),
+                     name),
+        os.path.join(os.path.expanduser(
+            '~/.local/share/ocrd-resources/ocrd-cor-asv-ann-process'),
+            name),
+    ]
+    for cand in candidates:
+        if cand and os.path.exists(cand):
+            return cand
+    raise FileNotFoundError(
+        'cannot resolve model resource %r (searched: %s; set '
+        'CORASVANN_DATA)' % (name, candidates))
+
+
 class ArtificialTextEquiv:
     """In-memory TextEquiv for implicit whitespace (index=-1) — these do
     not belong to the XML hierarchy (reference transcode.py:220-227)."""
@@ -57,7 +81,7 @@ class ANNCorrection(PageProcessor):
 
     def setup(self):
         from ..models.api import Sequence2Sequence
-        model_file = self.parameter['model_file']
+        model_file = resolve_resource(self.parameter['model_file'])
         self.s2s = Sequence2Sequence(logger=self.logger)
         self.s2s.load_config(model_file)
         self.s2s.configure()
