@@ -11,6 +11,15 @@ iteration the best K unexpanded nodes are stepped through the decoder
 merged back into the reservoir (keep best R), and finished hypotheses go
 to a bank of F solutions. All of it runs inside one `lax.while_loop`.
 
+TPU-first optimization: the local monotonic attention window (±5 around
+the expected source position, attention.py:544-569) makes every attention
+state sparse — at most 11 positions are visible. The beam therefore
+carries only the *windowed* alignment (WIN values + window start) per
+node, and each step gathers just the WIN relevant rows of the encoder
+output/projection instead of broadcasting the full (T, A) attended
+sequence per hypothesis. This is mathematically identical to the full
+computation (everything outside the window is masked to zero anyway).
+
 Semantics carried over from the reference:
 - candidate admission per node: top `beam_width_in` by probability, cut at
   the relative threshold `highest * beam_threshold_in`
@@ -30,11 +39,11 @@ Semantics carried over from the reference:
 Deviations (documented):
 - the queue is bounded by R per line (the reference prunes to
   max_batches*batch_size nodes globally, seq2seq.py:1530-1532),
-- `len0` is the true per-line source length, not the batch-padded length,
-- per-step soft alignments are recorded as their window *centers* only
-  (the attention is windowed to ±window_width anyway); downstream hard
-  alignment paths are built from the centers instead of running Viterbi
-  over a dense soft-alignment matrix (transcode.py:279-349).
+- `len0` is passed by the caller (the reference uses the batch-padded
+  length; models/api.py passes the true per-line source length),
+- per-step alignments are recorded as their window centers only;
+  downstream hard alignment paths are built from the centers instead of
+  Viterbi over a dense soft-alignment matrix (transcode.py:279-349).
 """
 
 import dataclasses
@@ -44,7 +53,8 @@ import jax
 import jax.numpy as jnp
 
 from .config import Seq2SeqConfig
-from .seq2seq import encode, decoder_step
+from .seq2seq import encode
+from ..ops.lstm import lstm_step
 
 INF = jnp.inf
 
@@ -60,26 +70,99 @@ class BeamParams:
     cost0: float = 3.0         # per-char cost for the length prior
 
 
+def _gather_rows(x, ix):
+    """x (B, T, D), ix (B, K, WIN) -> (B, K, WIN, D)."""
+    B = x.shape[0]
+    return x[jnp.arange(B)[:, None, None], ix]
+
+
+def beam_decoder_step(params, config, feedback, layer_states, aw, astart,
+                      attended, u):
+    """One decoder step over (B, K) hypotheses with windowed attention.
+
+    feedback (B,K,V); layer_states: tuple of (h, c) each (B,K,W);
+    aw (B,K,WIN) windowed previous alignment with window starts astart
+    (B,K). attended (B,T,A) and u (B,T,W) are shared per line.
+    Returns (probs (B,K,V), new_layer_states, new_aw, new_astart,
+    expected_pos (B,K)).
+    """
+    depth = config.depth
+    W = config.width
+    ww = config.window_width
+    B, K, V = feedback.shape
+    T = attended.shape[1]
+    WIN = aw.shape[-1]
+    x = jnp.einsum('bkv,vw->bkw', feedback,
+                   params['char_embedding']['kernel'],
+                   preferred_element_type=jnp.float32)
+    new_states = []
+    out = x
+    for n in range(depth - 1):
+        lw = params['decoder'][n]
+        h, c = lstm_step(out, *layer_states[n], lw)
+        new_states.append((h, c))
+        if config.residual_connections and n > 0:
+            out = h + out
+        else:
+            out = h
+    top = params['decoder'][depth - 1]
+    h_prev, c_prev = layer_states[depth - 1]
+    # expected previous source position t0 = prev_a . arange + 1
+    offs = jnp.arange(WIN, dtype=aw.dtype)
+    t0 = jnp.sum(aw * (astart[..., None] + offs), axis=-1) + 1.0   # (B,K)
+    # new window around t0
+    new_start = jnp.clip(jnp.floor(t0).astype(jnp.int32) - ww, 0,
+                         max(T - WIN, 0))
+    win_ix = new_start[..., None] + jnp.arange(WIN)                # B,K,WIN
+    win_ix = jnp.minimum(win_ix, T - 1)
+    u_w = _gather_rows(u, win_ix)                                  # B,K,WIN,W
+    att_w = _gather_rows(attended, win_ix)                         # B,K,WIN,A
+    w_vec = jnp.einsum('bkw,wu->bku', h_prev, top['W_a'],
+                       preferred_element_type=jnp.float32) + top['b_UW']
+    e = jnp.exp(jnp.einsum('bknu,uo->bkno',
+                           jnp.tanh(w_vec[:, :, None, :] + u_w),
+                           top['v_a'],
+                           preferred_element_type=jnp.float32)[..., 0]
+                + top['b_v'])                                      # B,K,WIN
+    visible = jnp.abs(t0[..., None] - win_ix.astype(t0.dtype)) <= ww
+    e = e * visible
+    a_w = e / jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
+    ctx = jnp.einsum('bkn,bkna->bka', a_w, att_w,
+                     preferred_element_type=jnp.float32)
+    cell_in = jnp.concatenate([out, ctx], axis=-1)
+    h, c = lstm_step(cell_in, h_prev, c_prev, top['cell'])
+    new_states.append((h, c))
+    if config.residual_connections and depth > 1:
+        out = h + out
+    else:
+        out = h
+    logits = jnp.einsum('bkw,vw->bkv', out,
+                        params['char_embedding']['kernel'],
+                        preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)
+    exp_pos = jnp.sum(a_w * win_ix.astype(a_w.dtype), axis=-1)
+    return probs, tuple(new_states), a_w, new_start, exp_pos
+
+
 @functools.partial(jax.jit, static_argnames=('config', 'bp', 'max_steps'))
 def decode_beam(params, config: Seq2SeqConfig, bp: BeamParams, enc_input,
                 newline_idx, src_len, max_steps=None):
     """Beam-decode a batch of lines entirely on device.
 
-    enc_input: (B, T, V) source vectors; src_len: (B,) true source lengths
-    (including the trailing newline). Returns a dict with the finished
-    bank, best-first: 'idx' (B,F,S), 'prob' (B,F,S), 'length' (B,F),
-    'cost' (B,F) prospective cost, 'cum' (B,F) cumulative -log p,
+    enc_input: (B, T, V) source vectors; src_len: (B,) per-line source
+    lengths used for the length prior (len0). Returns a dict with the
+    finished bank, best-first: 'idx' (B,F,S), 'prob' (B,F,S), 'length'
+    (B,F), 'cost' (B,F) prospective cost, 'cum' (B,F) cumulative -log p,
     'count' (B,), and per-step alignment centers 'align_pos' (B,F,S).
     """
     B, T, V = enc_input.shape
     R, K, C, F = bp.reservoir, bp.expand, bp.beam_width_in, bp.beam_width_out
     S = max_steps or 2 * T
+    WIN = min(2 * config.window_width + 2, T)
     attended, states, u = encode(params, config, enc_input)
-    A = attended.shape[-1]
 
     src_any = jnp.any(enc_input != 0, axis=2)                     # (B, T)
     src_top = jnp.argmax(enc_input, axis=2).astype(jnp.int32)     # (B, T)
-    arange_T = jnp.arange(T, dtype=attended.dtype)
     len0 = src_len.astype(attended.dtype)                          # (B,)
     line_live = jnp.any(enc_input.reshape(B, -1) != 0, axis=1)
 
@@ -91,7 +174,8 @@ def decode_beam(params, config: Seq2SeqConfig, bp: BeamParams, enc_input,
     state0 = dict(
         t=jnp.array(0, jnp.int32),
         h=tuple((tile_r(h), tile_r(c)) for h, c in states),
-        align=jnp.zeros((B, R, T), attended.dtype),
+        aw=jnp.zeros((B, R, WIN), attended.dtype),
+        astart=jnp.zeros((B, R), jnp.int32),
         feedback=jnp.zeros((B, R, V), attended.dtype),
         cum=jnp.where(root, 0.0, INF).astype(attended.dtype)
             * jnp.ones((B, 1)),
@@ -124,13 +208,14 @@ def decode_beam(params, config: Seq2SeqConfig, bp: BeamParams, enc_input,
         exp_pro = -neg
         exp_ok = jnp.isfinite(exp_pro) & ~s['done'][:, None]
 
-        def g(x):  # gather expansion set from reservoir
+        def g(x):
             return ta(x, exp_ix)
 
         e_cum = jnp.take_along_axis(s['cum'], exp_ix, axis=1)
         e_nchars = jnp.take_along_axis(s['nchars'], exp_ix, axis=1)
         e_wasrej = jnp.take_along_axis(s['was_rej'], exp_ix, axis=1)
-        e_align = g(s['align'])
+        e_aw = g(s['aw'])
+        e_astart = jnp.take_along_axis(s['astart'], exp_ix, axis=1)
         e_feedback = g(s['feedback'])
         e_h = tuple((g(h), g(c)) for h, c in s['h'])
         e_seq = g(s['seq'])
@@ -138,25 +223,13 @@ def decode_beam(params, config: Seq2SeqConfig, bp: BeamParams, enc_input,
         e_seq_ap = g(s['seq_ap'])
 
         # --- decoder step for the expansion set -----------------------
-        def flat(x):
-            return x.reshape((B * K,) + x.shape[2:])
-
-        def unflat(x):
-            return x.reshape((B, K) + x.shape[1:])
-
-        att_k = jnp.broadcast_to(attended[:, None], (B, K, T, A))
-        u_k = jnp.broadcast_to(u[:, None], (B, K, T, u.shape[-1]))
-        probs_f, (new_layers, a_new_f), _ = decoder_step(
-            params, config, flat(e_feedback),
-            ([(flat(h), flat(c)) for h, c in e_h], flat(e_align)),
-            flat(att_k), flat(u_k))
-        probs = unflat(probs_f)                      # (B, K, V)
-        a_new = unflat(a_new_f)                      # (B, K, T)
-        n_h = tuple((unflat(h), unflat(c)) for h, c in new_layers)
+        probs, n_h, a_w, a_start, new_exp = beam_decoder_step(
+            params, config, e_feedback, list(e_h), e_aw, e_astart,
+            attended, u)
 
         # --- rejection candidate (seq2seq.py:1441-1470) ---------------
-        prev_exp = jnp.einsum('bkt,t->bk', e_align, arange_T)
-        new_exp = jnp.einsum('bkt,t->bk', a_new, arange_T)
+        offs = jnp.arange(WIN, dtype=a_w.dtype)
+        prev_exp = jnp.sum(e_aw * (e_astart[..., None] + offs), axis=-1)
         first = e_nchars == 0
         misal = jnp.where(first, 0.0, jnp.abs(new_exp - prev_exp - 1.0))
         src_pos = jnp.where(
@@ -203,15 +276,14 @@ def decode_beam(params, config: Seq2SeqConfig, bp: BeamParams, enc_input,
 
         # per-candidate alignment center (rejection -> one-hot marker)
         c_center = jnp.broadcast_to(
-            jnp.round(new_exp).astype(jnp.int32)[..., None], cand_idx.shape)
+            jnp.clip(jnp.round(new_exp).astype(jnp.int32), 0, T - 1
+                     )[..., None], cand_idx.shape)
         c_center = jnp.where(is_rej, src_pos[..., None], c_center)
-        c_center = jnp.clip(c_center, 0, T - 1)
 
         # --- merge candidates into the reservoir ----------------------
-        # consumed parents leave the reservoir
         res_pro = s['pro'].at[jnp.arange(B)[:, None], exp_ix].set(
-            jnp.where(exp_ok, INF, jnp.take_along_axis(s['pro'], exp_ix,
-                                                       axis=1)))
+            jnp.where(exp_ok, INF,
+                      jnp.take_along_axis(s['pro'], exp_ix, axis=1)))
         all_pro = jnp.concatenate(
             [res_pro, c_pro_res.reshape(B, K * C)], axis=1)   # (B, R+KC)
         neg2, sel = jax.lax.top_k(-all_pro, R)
@@ -222,7 +294,7 @@ def decode_beam(params, config: Seq2SeqConfig, bp: BeamParams, enc_input,
         par_k = j // C
         rank = j % C
 
-        cand_of = lambda x: jnp.take_along_axis(      # (B,KC)->(B,R)
+        cand_of = lambda x: jnp.take_along_axis(      # (B,K,C)->(B,R)
             x.reshape(B, K * C), j, axis=1)
         new_cum = jnp.where(is_old,
                             jnp.take_along_axis(s['cum'], old_ix, axis=1),
@@ -235,26 +307,26 @@ def decode_beam(params, config: Seq2SeqConfig, bp: BeamParams, enc_input,
             is_old, jnp.take_along_axis(s['was_rej'], old_ix, axis=1),
             cand_of(is_rej))
 
-        def merge(old, new_k, setter=None):
-            """old: (B,R,...) reservoir field; new_k: (B,K,...) value per
-            expanded parent; candidates inherit via par_k (+ setter)."""
+        def merge(old, new_k):
             from_old = ta(old, old_ix)
             from_new = ta(new_k, par_k)
-            if setter is not None:
-                from_new = setter(from_new)
             m = is_old.reshape((B, R) + (1,) * (old.ndim - 2))
             return jnp.where(m, from_old, from_new)
 
-        # candidate alignment: decoder soft alignment of the parent step,
-        # or a one-hot marker at source_pos for rejection choices
+        # alignment state: rejection candidates get a one-hot marker at
+        # src_pos (window start = src_pos, weight 1 at offset 0)
         sel_isrej = cand_of(is_rej)
         sel_srcpos = cand_of(
             jnp.broadcast_to(src_pos[..., None], cand_idx.shape))
-        new_align = merge(
-            s['align'], a_new,
-            setter=lambda x: jnp.where(
-                sel_isrej[..., None],
-                jax.nn.one_hot(sel_srcpos, T, dtype=x.dtype), x))
+        rej_onehot = jnp.zeros((B, R, WIN), a_w.dtype).at[:, :, 0].set(1.0)
+        new_aw = jnp.where(sel_isrej[..., None], rej_onehot,
+                           merge(s['aw'], a_w))
+        new_astart = jnp.where(sel_isrej, sel_srcpos,
+                               jnp.where(is_old,
+                                         jnp.take_along_axis(
+                                             s['astart'], old_ix, axis=1),
+                                         jnp.take_along_axis(
+                                             a_start, par_k, axis=1)))
         new_h = tuple((merge(s['h'][l][0], n_h[l][0]),
                        merge(s['h'][l][1], n_h[l][1]))
                       for l in range(len(n_h)))
@@ -263,7 +335,8 @@ def decode_beam(params, config: Seq2SeqConfig, bp: BeamParams, enc_input,
         new_char = cand_of(cand_idx)
         new_p = cand_of(cand_p)
         new_ctr = cand_of(c_center)
-        onehot_pos = jax.nn.one_hot(write_pos, S, dtype=bool) & ~is_old[..., None]
+        onehot_pos = jax.nn.one_hot(write_pos, S, dtype=bool) \
+            & ~is_old[..., None]
         new_seq = jnp.where(onehot_pos, new_char[..., None],
                             merge(s['seq'], e_seq))
         new_seq_p = jnp.where(onehot_pos, new_p[..., None],
@@ -277,7 +350,8 @@ def decode_beam(params, config: Seq2SeqConfig, bp: BeamParams, enc_input,
         par_cidx = ta(cand_idx, par_k)                # (B, R, C)
         zero_mask = jnp.zeros((B, R, V), bool)
         for c in range(C):
-            oh = jax.nn.one_hot(par_cidx[..., c], V, dtype=jnp.float32) > 0
+            oh = jax.nn.one_hot(par_cidx[..., c], V,
+                                dtype=jnp.float32) > 0
             zero_mask = zero_mask | (oh & (c < rank)[..., None])
         cand_feedback = jnp.where(zero_mask, 0.0, par_probs)
         new_feedback = jnp.where(is_old[..., None],
@@ -293,7 +367,8 @@ def decode_beam(params, config: Seq2SeqConfig, bp: BeamParams, enc_input,
         b_oix = jnp.minimum(bsel, F - 1)
         bj = jnp.maximum(bsel - F, 0)
         b_par = bj // C
-        bcand = lambda x: jnp.take_along_axis(x.reshape(B, K * C), bj, axis=1)
+        bcand = lambda x: jnp.take_along_axis(x.reshape(B, K * C), bj,
+                                              axis=1)
 
         def bmerge(old, new_k, write_val):
             from_old = ta(old, b_oix)
@@ -307,10 +382,9 @@ def decode_beam(params, config: Seq2SeqConfig, bp: BeamParams, enc_input,
 
         new_bank = dict(
             bank_cost=nb_cost,
-            bank_cum=jnp.where(b_old,
-                               jnp.take_along_axis(s['bank_cum'], b_oix,
-                                                   axis=1),
-                               bcand(c_cum)),
+            bank_cum=jnp.where(
+                b_old, jnp.take_along_axis(s['bank_cum'], b_oix, axis=1),
+                bcand(c_cum)),
             bank_len=jnp.where(
                 b_old, jnp.take_along_axis(s['bank_len'], b_oix, axis=1),
                 bcand(jnp.broadcast_to(c_nchars, cand_idx.shape))),
@@ -327,7 +401,7 @@ def decode_beam(params, config: Seq2SeqConfig, bp: BeamParams, enc_input,
         over = (t + 1).astype(len0.dtype) >= 2.0 * len0
         done = s['done'] | stop | no_live | over
 
-        return dict(t=t + 1, h=new_h, align=new_align,
+        return dict(t=t + 1, h=new_h, aw=new_aw, astart=new_astart,
                     feedback=new_feedback, cum=new_cum, pro=new_pro,
                     nchars=new_nchars, was_rej=new_wasrej, seq=new_seq,
                     seq_p=new_seq_p, seq_ap=new_seq_ap, done=done,
