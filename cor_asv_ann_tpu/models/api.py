@@ -49,6 +49,8 @@ class Sequence2Sequence:
         self.lm_predict = False
         self.scheduled_sampling = None
         self.dropout = 0.2
+        self.learning_rate = 1e-3  # Keras Adam default (seq2seq.py:496)
+        self.patience = 3           # early-stopping patience (seq2seq.py:619)
         # beam decoder parameters
         self.rejection_threshold = 0.3
         self.beam_width_in = 15
@@ -110,7 +112,7 @@ class Sequence2Sequence:
             for key in ('char_embedding',):
                 new_kernel = np.array(new_params[key]['kernel'])
                 old_kernel = np.asarray(old_params[key]['kernel'])
-                new_kernel[:old_voc_size] = old_kernel
+                new_kernel[:old_voc_size] = old_kernel[:old_voc_size]
                 new_params[key]['kernel'] = new_kernel
             # all other weights are shape-independent of voc_size
             for key in ('attention_dense', 'encoder', 'decoder', 'bridge'):

@@ -156,7 +156,8 @@ def decode_beam(params, config: Seq2SeqConfig, bp: BeamParams, enc_input,
     'count' (B,), and per-step alignment centers 'align_pos' (B,F,S).
     """
     B, T, V = enc_input.shape
-    R, K, C, F = bp.reservoir, bp.expand, bp.beam_width_in, bp.beam_width_out
+    R, K, F = bp.reservoir, bp.expand, bp.beam_width_out
+    C = min(bp.beam_width_in, V - 1)  # cannot admit more than the vocab
     S = max_steps or 2 * T
     WIN = min(2 * config.window_width + 2, T)
     attended, states, u = encode(params, config, enc_input)

@@ -193,7 +193,7 @@ def train_model(s2s, filenames, val_filenames=None, checkpoint_dir='.'):
 
     config = s2s.config
     params = s2s.params
-    optimizer = make_optimizer()
+    optimizer = make_optimizer(getattr(s2s, 'learning_rate', 1e-3))
     opt_state = optimizer.init(params)
     frozen = getattr(s2s, 'frozen_layers', None)
     fmask = (frozen_gradient_mask(params, frozen, config.depth)
@@ -207,7 +207,7 @@ def train_model(s2s, filenames, val_filenames=None, checkpoint_dir='.'):
 
     best_loss = np.inf
     best_params = params
-    patience = 3
+    patience = getattr(s2s, 'patience', 3)  # reference: EarlyStopping(3)
     bad_epochs = 0
     history = {'loss': [], 'val_loss': []}
     with StopSignal(logger) as stop:
