@@ -38,13 +38,16 @@ def make_mesh(n_devices=None, data_axis=None):
 def param_sharding(params, mesh):
     """NamedSharding pytree for the model parameters: wide matmul
     operands sharded over 'model', small vectors replicated."""
+    nmodel = mesh.shape['model']
+
     def spec_for(path, leaf):
-        names = [getattr(p, 'name', getattr(p, 'key', '')) for p in path]
-        if leaf.ndim >= 2:
+        if leaf.ndim >= 2 and leaf.shape[-1] % nmodel == 0 \
+                and leaf.shape[-1] >= nmodel * 8:
             # (in, 4W) gate kernels, (V, W) embedding, (A, W)/(W, W)
             # projections: shard the wide output axis
             return P(*([None] * (leaf.ndim - 1) + ['model']))
-        if leaf.ndim == 1 and leaf.shape[0] >= 128:
+        if leaf.ndim == 1 and leaf.shape[0] >= 128 \
+                and leaf.shape[0] % nmodel == 0:
             return P('model')
         return P()
 

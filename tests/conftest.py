@@ -13,6 +13,18 @@ if 'xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (
         flags + ' --xla_force_host_platform_device_count=8').strip()
 
+import jax  # noqa: E402
+
+# On the axon-tunnel environment the JAX_PLATFORMS env var is clobbered
+# during `import jax` (the TPU plugin registers itself at priority 400);
+# updating the config AFTER import restores the CPU backend, which makes
+# the tests independent of tunnel availability and enables the 8-device
+# virtual mesh requested via XLA_FLAGS above.
+try:
+    jax.config.update('jax_platforms', 'cpu')
+except Exception:  # pragma: no cover - plain environments
+    pass
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
