@@ -229,15 +229,18 @@ def _decode_teacher(params, config, dec_input, states, attended, u,
 
 @functools.partial(jax.jit, static_argnames=('config', 'max_steps',
                                              'return_alignments'))
-def decode_greedy(params, config: Seq2SeqConfig, enc_input, newline_idx,
-                  max_steps=None, return_alignments=False):
+def decode_greedy(params, config: Seq2SeqConfig, enc_input,
+                  newline_idx, max_steps=None,
+                  return_alignments=False):
     """Fully on-device greedy batch decode with softmax feedback.
 
     Faithful to reference decode_batch_greedy (seq2seq.py:1215-1286):
     argmax excludes index 0 (underspecification), per-line termination on
     newline, the raw softmax distribution is the next decoder input, score
     accumulates -log p of the chosen characters. Runs a `lax.while_loop`
-    with early exit when every line is finished.
+    with early exit when every line is finished. Dense full-T attention
+    per step: fastest for typical OCR line buckets (T <= ~128); see
+    `decode_greedy_windowed` for the long-line variant.
 
     Returns (indices (B,S) int32, probs (B,S), lengths (B,), scores (B,),
     alignments (B,S,T) or None).
@@ -285,6 +288,84 @@ def decode_greedy(params, config: Seq2SeqConfig, enc_input, newline_idx,
         return dict(t=t + 1, feedback=probs, layers=tuple(layers), align=a,
                     done=done, out_idx=out_idx, out_prob=out_prob,
                     length=length, score=score, out_align=out_align)
+
+    s = jax.lax.while_loop(cond, body, state0)
+    lengths = jnp.maximum(s['length'], 1)
+    return (s['out_idx'], s['out_prob'], s['length'],
+            s['score'] / lengths,
+            s['out_align'] if return_alignments else None)
+
+
+@functools.partial(jax.jit, static_argnames=('config', 'max_steps',
+                                             'return_alignments'))
+def decode_greedy_windowed(params, config: Seq2SeqConfig, enc_input,
+                           newline_idx, max_steps=None,
+                           return_alignments=False):
+    """Greedy batch decode with windowed attention gathers.
+
+    Semantics identical to `decode_greedy`; faster for long lines
+    (T > ~128) where gathering WIN encoder rows beats dense attention.
+
+    TPU-first optimization: the local attention window (±window_width
+    around the previous expected source position) makes everything outside
+    at most WIN positions invisible, so each step gathers only the WIN
+    relevant encoder rows — mathematically identical to full-T attention
+    (attention.py:544-569 masks the rest to zero anyway).
+
+    Returns (indices (B,S) int32, probs (B,S), lengths (B,), scores (B,),
+    alignments (B,S,T) or None).
+    """
+    from .beam import beam_decoder_step
+    B, T, V = enc_input.shape
+    S = max_steps or 2 * T
+    WIN = min(2 * config.window_width + 2, T)
+    attended, states, u = encode(params, config, enc_input)
+    live0 = jnp.any(enc_input.reshape(B, -1) != 0, axis=1)
+
+    state0 = dict(
+        t=jnp.array(0, jnp.int32),
+        feedback=jnp.zeros((B, 1, V), attended.dtype),
+        layers=tuple((h[:, None], c[:, None]) for h, c in states),
+        aw=jnp.zeros((B, 1, WIN), attended.dtype),
+        astart=jnp.zeros((B, 1), jnp.int32),
+        done=~live0,
+        out_idx=jnp.zeros((B, S), jnp.int32),
+        out_prob=jnp.zeros((B, S), attended.dtype),
+        length=jnp.zeros((B,), jnp.int32),
+        score=jnp.zeros((B,), attended.dtype),
+        out_align=(jnp.zeros((B, S, T), attended.dtype)
+                   if return_alignments else jnp.zeros((0,), attended.dtype)),
+    )
+
+    def cond(s):
+        return (s['t'] < S) & ~jnp.all(s['done'])
+
+    def body(s):
+        probs, layers, a_w, a_start, _exp = beam_decoder_step(
+            params, config, s['feedback'], list(s['layers']),
+            s['aw'], s['astart'], attended, u)
+        p1 = probs[:, 0]
+        idx = jnp.argmax(p1[:, 1:], axis=1).astype(jnp.int32) + 1
+        p = jnp.take_along_axis(p1, idx[:, None], axis=1)[:, 0]
+        active = ~s['done']
+        t = s['t']
+        out_idx = s['out_idx'].at[:, t].set(jnp.where(active, idx, 0))
+        out_prob = s['out_prob'].at[:, t].set(jnp.where(active, p, 0.0))
+        length = s['length'] + active.astype(jnp.int32)
+        score = s['score'] + jnp.where(active, -jnp.log(p), 0.0)
+        done = s['done'] | (idx == newline_idx)
+        out_align = s['out_align']
+        if return_alignments:
+            win_ix = jnp.minimum(
+                a_start[:, 0, None] + jnp.arange(WIN), T - 1)
+            row = jnp.zeros((B, T), a_w.dtype).at[
+                jnp.arange(B)[:, None], win_ix].add(a_w[:, 0])
+            out_align = out_align.at[:, t, :].set(
+                jnp.where(active[:, None], row, 0.0))
+        return dict(t=t + 1, feedback=probs, layers=tuple(layers),
+                    aw=a_w, astart=a_start, done=done, out_idx=out_idx,
+                    out_prob=out_prob, length=length, score=score,
+                    out_align=out_align)
 
     s = jax.lax.while_loop(cond, body, state0)
     lengths = jnp.maximum(s['length'], 1)

@@ -104,3 +104,22 @@ def test_teacher_forward_matches_stepwise(tiny_setup):
         p, state, _ = seq2seq.decoder_step(
             params, config, dec_in[:, t], state, attended, u)
         np.testing.assert_allclose(probs_seq[:, t], np.asarray(p), atol=2e-5)
+
+
+def test_windowed_equals_full_greedy(tiny_setup):
+    """The windowed-attention greedy decoder must match the full-T one."""
+    config, mapping, params = tiny_setup
+    import copy
+    params = copy.deepcopy(params)
+    params['char_embedding']['kernel'] = \
+        params['char_embedding']['kernel'] * 400.0
+    enc = make_onehot_batch(mapping, LINES, pad_to=20)
+    newline = mapping.get('\n')
+    full = seq2seq.decode_greedy(params, config, enc, newline,
+                                 return_alignments=True)
+    win = seq2seq.decode_greedy_windowed(params, config, enc, newline,
+                                         return_alignments=True)
+    np.testing.assert_array_equal(np.asarray(full[0]), np.asarray(win[0]))
+    np.testing.assert_array_equal(np.asarray(full[2]), np.asarray(win[2]))
+    np.testing.assert_allclose(np.asarray(full[4]), np.asarray(win[4]),
+                               atol=1e-5)
