@@ -190,7 +190,8 @@ class Sequence2Sequence:
             beam_width_in=int(self.beam_width_in),
             beam_threshold_in=float(self.beam_threshold_in),
             beam_width_out=int(self.beam_width_out),
-            rejection_threshold=float(self.rejection_threshold))
+            rejection_threshold=float(self.rejection_threshold),
+            lm_predict=bool(self.lm_predict))
 
     def correct_lines(self, lines, conf=None, fast=True, greedy=True):
         """Correct text strings (reference seq2seq.py:782-842).

@@ -68,6 +68,10 @@ class BeamParams:
     beam_width_out: int = 16   # finished-hypothesis bank size F
     rejection_threshold: float = 0.3
     cost0: float = 3.0         # per-char cost for the length prior
+    # rate hypotheses by an unconditioned LM readout (same weights, zero
+    # attention context) while decoder scores control beam entry
+    # (reference lm_predict, seq2seq.py:144-149, 1431-1434, 1488-1490)
+    lm_predict: bool = False
 
 
 def _gather_rows(x, ix):
@@ -77,14 +81,17 @@ def _gather_rows(x, ix):
 
 
 def beam_decoder_step(params, config, feedback, layer_states, aw, astart,
-                      attended, u):
+                      attended, u, with_lm=False):
     """One decoder step over (B, K) hypotheses with windowed attention.
 
     feedback (B,K,V); layer_states: tuple of (h, c) each (B,K,W);
     aw (B,K,WIN) windowed previous alignment with window starts astart
     (B,K). attended (B,T,A) and u (B,T,W) are shared per line.
     Returns (probs (B,K,V), new_layer_states, new_aw, new_astart,
-    expected_pos (B,K)).
+    expected_pos (B,K)); with `with_lm` an unconditioned LM readout over
+    the same input states (zero attention context, discarded LM states —
+    reference decoder_model lm branch, seq2seq.py:464-469) is appended:
+    (..., lm_probs (B,K,V)).
     """
     depth = config.depth
     W = config.width
@@ -141,7 +148,28 @@ def beam_decoder_step(params, config, feedback, layer_states, aw, astart,
                         preferred_element_type=jnp.float32)
     probs = jax.nn.softmax(logits, axis=-1)
     exp_pos = jnp.sum(a_w * win_ix.astype(a_w.dtype), axis=-1)
-    return probs, tuple(new_states), a_w, new_start, exp_pos
+    if not with_lm:
+        return probs, tuple(new_states), a_w, new_start, exp_pos
+    # LM readout: same layers/input states, zero attention context
+    lm_out = x
+    for n in range(depth - 1):
+        lw = params['decoder'][n]
+        h_lm, _ = lstm_step(lm_out, *layer_states[n], lw)
+        if config.residual_connections and n > 0:
+            lm_out = h_lm + lm_out
+        else:
+            lm_out = h_lm
+    lm_in = jnp.concatenate([lm_out, jnp.zeros_like(ctx)], axis=-1)
+    h_lm, _ = lstm_step(lm_in, h_prev, c_prev, top['cell'])
+    if config.residual_connections and depth > 1:
+        lm_out = h_lm + lm_out
+    else:
+        lm_out = h_lm
+    lm_logits = jnp.einsum('bkw,vw->bkv', lm_out,
+                           params['char_embedding']['kernel'],
+                           preferred_element_type=jnp.float32)
+    lm_probs = jax.nn.softmax(lm_logits, axis=-1)
+    return probs, tuple(new_states), a_w, new_start, exp_pos, lm_probs
 
 
 @functools.partial(jax.jit, static_argnames=('config', 'bp', 'max_steps'))
@@ -224,9 +252,11 @@ def decode_beam(params, config: Seq2SeqConfig, bp: BeamParams, enc_input,
         e_seq_ap = g(s['seq_ap'])
 
         # --- decoder step for the expansion set -----------------------
-        probs, n_h, a_w, a_start, new_exp = beam_decoder_step(
+        step_out = beam_decoder_step(
             params, config, e_feedback, list(e_h), e_aw, e_astart,
-            attended, u)
+            attended, u, with_lm=bp.lm_predict)
+        probs, n_h, a_w, a_start, new_exp = step_out[:5]
+        lm_probs = step_out[5] if bp.lm_predict else None
 
         # --- rejection candidate (seq2seq.py:1441-1470) ---------------
         offs = jnp.arange(WIN, dtype=a_w.dtype)
@@ -264,7 +294,13 @@ def decode_beam(params, config: Seq2SeqConfig, bp: BeamParams, enc_input,
         valid = valid.at[..., last].set(force | valid[..., last])
         is_rej = rej_ok[..., None] & (cand_idx == rej_idx[..., None])
 
-        cand_cost = -jnp.log(jnp.maximum(cand_p, 1e-30))
+        if bp.lm_predict:
+            # LM probability rates the hypothesis globally; decoder
+            # scores still control beam entry (seq2seq.py:1488-1490)
+            rate_p = jnp.take_along_axis(lm_probs, cand_idx, axis=-1)
+        else:
+            rate_p = cand_p
+        cand_cost = -jnp.log(jnp.maximum(rate_p, 1e-30))
         c_cum = e_cum[..., None] + cand_cost
         c_nchars = (e_nchars + 1)[..., None]                      # (B,K,1)
         c_pro = c_cum + bp.cost0 * jnp.abs(
