@@ -92,20 +92,78 @@ class ANNCorrection(PageProcessor):
         self.logger.debug('Loaded model_file %r',
                           self.parameter['model_file'])
 
-    def process_page(self, docs, page_id):
-        doc = docs[0]
+    def process_workspace(self, workspace, input_grps, output_grp,
+                          page_ids=None):
+        """Document-level flow with cross-page line batching.
+
+        The reference parallelizes pages across worker processes (with a
+        METS server) but caps the model processor at max_workers=1
+        (transcode.py:46); the TPU-first equivalent is to batch *lines
+        across pages* into full decode batches inside one process:
+        all pages are parsed first, their lines corrected in one
+        (chunked) device call, then results are written back per page.
+        """
+        from ..utils.workspace import Workspace
+        from ..utils.page import parse_page
+        if isinstance(workspace, str):
+            workspace = Workspace(workspace)
+        if isinstance(input_grps, str):
+            input_grps = input_grps.split(',')
+        self.verify(input_grps)
+        files = workspace.page_files(input_grps[0])
+        pages = page_ids or [p for p in workspace.page_ids() if p in files]
+        docs = {pid: parse_page(files[pid].path) for pid in pages}
+        # phase 1: collect line sequences over all pages
+        all_inputs, all_starts, page_slices = [], [], {}
+        for pid in pages:
+            inputs, starts = self._prepare_page(docs[pid], pid)
+            page_slices[pid] = (len(all_inputs),
+                                len(all_inputs) + len(inputs))
+            all_inputs.extend(inputs)
+            all_starts.extend(starts)
+        # phase 2: one batched correction over every line of the document
+        self.logger.info('correcting %d lines across %d pages',
+                         len(all_inputs), len(pages))
+        outputs = self.s2s.correct_lines(
+            all_inputs, conf=all_inputs,
+            fast=self.parameter['fast_mode'],
+            greedy=self.parameter['fast_mode'])
+        # phase 3: write back per page
+        for pid in pages:
+            lo, hi = page_slices[pid]
+            self._apply_page(
+                docs[pid], pid, all_inputs[lo:hi], all_starts[lo:hi],
+                tuple(o[lo:hi] for o in outputs))
+            if output_grp:
+                workspace.add_file(
+                    output_grp, pid, docs[pid].to_bytes(),
+                    file_id='%s_%s' % (output_grp, pid))
+        workspace.save()
+
+    def _prepare_page(self, doc, page_id):
         level = self.parameter['textequiv_level']
         self.logger.info('Correcting text in page %r at the %s level',
                          page_id, level)
         line_sequences = _page_get_line_sequences_at(level, doc,
                                                      logger=self.logger)
-        input_lines, textequiv_starts = _line_sequences2confmat_sequences(
+        return _line_sequences2confmat_sequences(
             self.s2s.mapping, line_sequences,
             charmap=self.parameter['charmap'])
-        output_lines, output_probs, output_scores, alignments = \
-            self.s2s.correct_lines(input_lines, conf=input_lines,
-                                   fast=self.parameter['fast_mode'],
-                                   greedy=self.parameter['fast_mode'])
+
+    def process_page(self, docs, page_id):
+        doc = docs[0]
+        input_lines, textequiv_starts = self._prepare_page(doc, page_id)
+        outputs = self.s2s.correct_lines(
+            input_lines, conf=input_lines,
+            fast=self.parameter['fast_mode'],
+            greedy=self.parameter['fast_mode'])
+        return self._apply_page(doc, page_id, input_lines,
+                                textequiv_starts, outputs)
+
+    def _apply_page(self, doc, page_id, input_lines, textequiv_starts,
+                    outputs):
+        level = self.parameter['textequiv_level']
+        output_lines, output_probs, output_scores, alignments = outputs
         for (input_line, output_line, output_prob, output_score,
              alignment, textequivs) in zip(
                  input_lines, output_lines, output_probs, output_scores,
