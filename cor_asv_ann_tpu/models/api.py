@@ -85,6 +85,11 @@ class Sequence2Sequence:
     def configure(self, batch_size=None):
         if batch_size:
             self.batch_size = batch_size
+        if self.stateful:
+            # like the reference, stateful decoding remains unfinished
+            # (seq2seq.py:57-59: "features still wanting of implementation")
+            self.logger.warning('stateful mode is not implemented; '
+                                'proceeding stateless')
         self.config = Seq2SeqConfig(
             width=int(self.width), depth=int(self.depth),
             voc_size=self.voc_size,

@@ -215,25 +215,35 @@ def train_model(s2s, filenames, val_filenames=None, checkpoint_dir='.'):
             ratio = (sample_ratio(s2s.scheduled_sampling, epoch, s2s.epochs)
                      if s2s.scheduled_sampling else 0.0)
             losses = []
-            gen = gen_line_batches(filenames, s2s.batch_size, repeat=False,
-                                   split=split, train=True, is_bad=is_bad)
-            for batch in gen:
-                if batch is None:
-                    break
-                sources, confs, targets, _ = batch
-                enc, dec_in, dec_out, w = vectorize_lines(
-                    s2s.mapping, sources, targets, confs=confs,
-                    logger=logger)
-                if ratio > 0:
-                    dec_in = _scheduled_sample(
-                        params, config, s2s.mapping, enc, dec_in, ratio,
-                        newline)
-                enc = _degrade_encoder(enc)
+            params_ref = [params]  # freshest params for scheduled sampling
+
+            def batch_iter():
+                """Vectorize batches on a host thread (the reference's
+                generator worker processes, keras_train.py:133-150)."""
+                gen = gen_line_batches(filenames, s2s.batch_size,
+                                       repeat=False, split=split,
+                                       train=True, is_bad=is_bad)
+                for batch in gen:
+                    if batch is None:
+                        return
+                    sources, confs, targets, _ = batch
+                    enc, dec_in, dec_out, w = vectorize_lines(
+                        s2s.mapping, sources, targets, confs=confs,
+                        logger=logger)
+                    if ratio > 0:
+                        dec_in = _scheduled_sample(
+                            params_ref[0], config, s2s.mapping, enc,
+                            dec_in, ratio, newline)
+                    yield _degrade_encoder(enc), dec_in, dec_out, w
+
+            from ..utils.prefetch import prefetch
+            for enc, dec_in, dec_out, w in prefetch(batch_iter()):
                 rng, sub = jax.random.split(rng)
                 params, opt_state, loss = train_step(
                     params, opt_state, config, enc, dec_in, dec_out, w,
                     sub, frozen_mask=fmask, lm_loss=s2s.lm_loss,
                     optimizer=optimizer)
+                params_ref[0] = params
                 losses.append(float(loss))
                 if stop.stopping:
                     break

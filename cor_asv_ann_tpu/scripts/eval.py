@@ -31,8 +31,16 @@ CONTEXT_SETTINGS = dict(help_option_names=['-h', '--help'])
               help='aggregate and compare character histograms')
 @click.argument('data', nargs=-1, type=click.Path(dir_okay=False,
                                                   exists=True))
+@click.option('--profile', is_flag=True,
+              help='profile the run with cProfile (stderr report)')
+@click.option('--profile-file', default=None,
+              type=click.Path(dir_okay=False, writable=True),
+              help='dump cProfile stats to this file')
+@click.option('--jax-trace', default=None,
+              type=click.Path(file_okay=False),
+              help='write a jax.profiler device trace to this directory')
 def cli(load_model, fast, rejection, normalization, charmap, gt_level,
-        confusion, histogram, data):
+        confusion, histogram, data, profile, profile_file, jax_trace):
     """Evaluate a correction model on GT files.
 
     Load a sequence-to-sequence model from the given path. Then apply on
@@ -61,11 +69,14 @@ def cli(load_model, fast, rejection, normalization, charmap, gt_level,
         import ast
         charmap = ast.literal_eval(charmap)
 
-    s2s.evaluate(list(data), fast=fast,
-                 normalization=None if normalization == 'Levenshtein'
-                 else normalization,
-                 charmap=charmap, gt_level=gt_level, confusion=confusion,
-                 histogram=histogram)
+    from ..utils.profiling import maybe_profile
+    with maybe_profile(profile, profile_file, jax_trace,
+                       logger=logging.getLogger(__name__)):
+        s2s.evaluate(list(data), fast=fast,
+                     normalization=None if normalization == 'Levenshtein'
+                     else normalization,
+                     charmap=charmap, gt_level=gt_level,
+                     confusion=confusion, histogram=histogram)
 
 
 if __name__ == '__main__':

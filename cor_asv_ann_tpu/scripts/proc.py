@@ -26,7 +26,15 @@ CONTEXT_SETTINGS = dict(help_option_names=['-h', '--help'])
               help='suffix to append to input files for output files')
 @click.argument('data', nargs=-1, type=click.Path(dir_okay=False,
                                                   exists=True))
-def cli(load_model, fast, rejection, charmap, old_suffix, new_suffix, data):
+@click.option('--profile', is_flag=True,
+              help='profile the run with cProfile (stderr report)')
+@click.option('--profile-file', default=None,
+              type=click.Path(dir_okay=False, writable=True),
+              help='dump cProfile stats to this file')
+@click.option('--jax-trace', default=None,
+              type=click.Path(file_okay=False),
+              help='write a jax.profiler device trace to this directory')
+def cli(load_model, fast, rejection, charmap, old_suffix, new_suffix, data, profile, profile_file, jax_trace):
     """Apply a correction model on GT or text files.
 
     Load a sequence-to-sequence model from the given path. Then open the
@@ -61,31 +69,34 @@ def cli(load_model, fast, rejection, charmap, old_suffix, new_suffix, data):
         import ast
         charmap = ast.literal_eval(charmap)
 
+    from ..utils.profiling import maybe_profile
     outfile = None
     lastname = ''
     done = []
     logging.info('running on %d files', len(data))
-    for filenames, lines, scores in s2s.predict(list(data), fast=fast,
-                                                greedy=fast,
-                                                charmap=charmap):
-        for filename, line in zip(filenames, lines):
-            if lastname != filename:
-                if outfile and not outfile.closed:
-                    done.append(lastname)
-                    outfile.close()
-                if not filename:
-                    logging.info('done with %d files', len(done))
-                    break
-                lastname = filename
-                if old_suffix and old_suffix in filename:
-                    basename = filename.replace(old_suffix, '')
-                else:
-                    basename, ext = os.path.splitext(filename)
-                logging.info('writing to output file %r',
-                             basename + new_suffix)
-                outfile = open(basename + new_suffix, 'w',
-                               encoding='utf-8')
-            outfile.write(line)
+    with maybe_profile(profile, profile_file, jax_trace,
+                       logger=logging.getLogger(__name__)):
+        for filenames, lines, scores in s2s.predict(list(data), fast=fast,
+                                                    greedy=fast,
+                                                    charmap=charmap):
+            for filename, line in zip(filenames, lines):
+                if lastname != filename:
+                    if outfile and not outfile.closed:
+                        done.append(lastname)
+                        outfile.close()
+                    if not filename:
+                        logging.info('done with %d files', len(done))
+                        break
+                    lastname = filename
+                    if old_suffix and old_suffix in filename:
+                        basename = filename.replace(old_suffix, '')
+                    else:
+                        basename, ext = os.path.splitext(filename)
+                    logging.info('writing to output file %r',
+                                 basename + new_suffix)
+                    outfile = open(basename + new_suffix, 'w',
+                                   encoding='utf-8')
+                outfile.write(line)
     if outfile and not outfile.closed:
         outfile.close()
 

@@ -70,6 +70,8 @@ def cli(save_model, load_model, init_model, reset_encoder, width, depth,
     s2s = Sequence2Sequence(logger=logging.getLogger(__name__))
     s2s.width = width
     s2s.depth = depth
+    if os.environ.get('CORASVANN_TEST_EPOCHS'):
+        s2s.epochs = int(os.environ['CORASVANN_TEST_EPOCHS'])
     s2s.configure()
 
     if load_model:

@@ -1,0 +1,120 @@
+"""CLI surfaces: compare, proc, eval, train (via click test runner)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from click.testing import CliRunner
+
+from cor_asv_ann_tpu.models.config import Seq2SeqConfig, init_params
+from cor_asv_ann_tpu.utils import io_h5
+from cor_asv_ann_tpu.utils.data import CharMapping
+
+
+@pytest.fixture(scope='module')
+def model_file(tmp_path_factory):
+    """A small random (untrained) model over a-j."""
+    mapping = CharMapping.from_texts(["abcdefghij .,\n"])
+    config = Seq2SeqConfig(width=16, depth=2, voc_size=mapping.voc_size)
+    params = init_params(config, seed=1)
+    params['char_embedding']['kernel'] *= 300.0  # peaked -> terminates
+    path = str(tmp_path_factory.mktemp('model') / 'rand.h5')
+    io_h5.save_model(path, params, config, mapping)
+    return path
+
+
+def test_compare_cli(tmp_path):
+    from cor_asv_ann_tpu.scripts.compare import cli
+    gt = tmp_path / 'gt.txt'
+    ocr = tmp_path / 'ocr.txt'
+    gt.write_text("Der Hund liegt\nim Garten\n")
+    ocr.write_text("Der Hvnd liegt\nim Garten\n")
+    report_file = tmp_path / 'report.json'
+    runner = CliRunner()
+    result = runner.invoke(cli, ['-o', str(report_file), '-n', 'NFC',
+                                 str(gt), str(ocr)])
+    assert result.exit_code == 0, result.output
+    report = json.loads(report_file.read_text())
+    pair = f'{ocr},{gt}'
+    assert pair in report
+    assert 0 < report[pair]['char-error-rate-mean'] < 0.2
+    assert report[pair]['num-lines'] == 2
+
+
+def test_compare_cli_page_xml(tmp_path):
+    from cor_asv_ann_tpu.scripts.compare import cli
+    from cor_asv_ann_tpu.utils import page as P
+    doc = P.new_page()
+    region = P.add_region(doc, 'r1')
+    line = P.add_line(region, 'l1')
+    line.add_textequiv('Der Hund')
+    gt_xml = tmp_path / 'gt.xml'
+    doc.save(str(gt_xml))
+    doc2 = P.new_page()
+    region2 = P.add_region(doc2, 'r1')
+    line2 = P.add_line(region2, 'l1')
+    line2.add_textequiv('Der Hvnd')
+    ocr_xml = tmp_path / 'ocr.xml'
+    doc2.save(str(ocr_xml))
+    runner = CliRunner()
+    result = runner.invoke(cli, ['-n', 'NFC', str(gt_xml), str(ocr_xml)])
+    assert result.exit_code == 0, result.output
+    assert 'char-error-rate-mean' in result.output
+
+
+def test_proc_cli(model_file, tmp_path):
+    from cor_asv_ann_tpu.scripts.proc import cli
+    data = tmp_path / 'lines.txt'
+    data.write_text("abba dig\nchef i gad\n")
+    runner = CliRunner()
+    result = runner.invoke(cli, ['-m', model_file, '-f',
+                                 '-s', '.cor.txt', str(data)])
+    assert result.exit_code == 0, result.output
+    out = tmp_path / 'lines.cor.txt'
+    assert out.exists()
+    # untrained model output is garbage, but one output line is written
+    # per input line (unterminated decodes lack the trailing newline)
+    assert len(out.read_text()) > 0
+
+
+def test_eval_cli(model_file, tmp_path):
+    from cor_asv_ann_tpu.scripts.eval import cli
+    data = tmp_path / 'pairs.tsv'
+    data.write_text("abba\tabba\ndig\tdig\n")
+    runner = CliRunner()
+    result = runner.invoke(cli, ['-m', model_file, '-f', '-n', 'NFC',
+                                 str(data)])
+    assert result.exit_code == 0, result.output
+
+
+def test_train_cli(tmp_path):
+    from cor_asv_ann_tpu.scripts.train import cli
+    data = tmp_path / 'train.tsv'
+    rows = [f"{w}\t{w}" for w in ('ab', 'ba', 'aab', 'bba') * 8]
+    data.write_text('\n'.join(rows) + '\n')
+    model = tmp_path / 'out.h5'
+    runner = CliRunner()
+    # patch epochs down via a tiny width/depth fast run
+    result = runner.invoke(cli, ['-m', str(model), '-w', '8', '-d', '1',
+                                 str(data)],
+                           catch_exceptions=False,
+                           env={'CORASVANN_TEST_EPOCHS': '2'})
+    assert result.exit_code == 0, result.output
+    assert model.exists()
+    config, mapping = io_h5.load_config(str(model))
+    assert config.width == 8 and config.depth == 1
+    assert 'a' in mapping.c2i
+
+
+def test_prefetcher():
+    from cor_asv_ann_tpu.utils.prefetch import prefetch
+    assert list(prefetch(iter(range(10)))) == list(range(10))
+
+    def boom():
+        yield 1
+        raise RuntimeError('x')
+    it = prefetch(boom())
+    assert next(it) == 1
+    with pytest.raises(RuntimeError):
+        list(it)
