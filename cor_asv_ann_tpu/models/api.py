@@ -216,10 +216,16 @@ class Sequence2Sequence:
             chunk = lines[i:i + B]
             chunk_conf = conf[i:i + B] if conf else None
             n = len(chunk)
-            if n < B and len(lines) > B:
-                chunk = chunk + [''] * (B - n)
+            # pad the batch dimension to a power-of-two bucket (bounded
+            # set of compiled shapes, no waste on small inputs)
+            bucket = 8
+            while bucket < n:
+                bucket *= 2
+            bucket = min(bucket, B)
+            if n < bucket:
+                chunk = chunk + [''] * (bucket - n)
                 if chunk_conf:
-                    chunk_conf = chunk_conf + [[]] * (B - n)
+                    chunk_conf = chunk_conf + [[]] * (bucket - n)
             res = self._correct_batch(chunk, chunk_conf, greedy)
             for j in range(n):
                 out_lines.append(res[0][j])

@@ -244,3 +244,7 @@ class AlignLines(PageProcessor):
 
 
 ocrd_cor_asv_ann_align = processor_cli(AlignLines)
+
+
+if __name__ == '__main__':
+    ocrd_cor_asv_ann_align()

@@ -262,3 +262,7 @@ class EvaluateLines(PageProcessor):
 
 
 ocrd_cor_asv_ann_evaluate = processor_cli(EvaluateLines)
+
+
+if __name__ == '__main__':
+    ocrd_cor_asv_ann_evaluate()

@@ -67,3 +67,7 @@ class JoinLines(PageProcessor):
 
 
 ocrd_cor_asv_ann_join = processor_cli(JoinLines)
+
+
+if __name__ == '__main__':
+    ocrd_cor_asv_ann_join()

@@ -115,3 +115,7 @@ class MarkWords(PageProcessor):
 
 
 ocrd_cor_asv_ann_mark = processor_cli(MarkWords)
+
+
+if __name__ == '__main__':
+    ocrd_cor_asv_ann_mark()

@@ -725,3 +725,7 @@ def page_remove_lower_textequiv_levels(level, doc):
 
 
 ocrd_cor_asv_ann_process = processor_cli(ANNCorrection)
+
+
+if __name__ == '__main__':
+    ocrd_cor_asv_ann_process()
