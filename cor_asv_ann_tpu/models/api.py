@@ -210,8 +210,27 @@ class Sequence2Sequence:
             'cannot decode in fast mode with beam search enabled'
         if not lines:
             return [], [], [], []
-        out_lines, out_probs, out_scores, out_aligns = [], [], [], []
         B = self.batch_size
+        # sort large inputs by source length so each chunk pads to a
+        # tight bucket (decode cost is 2*bucket steps for the whole
+        # chunk); results are scattered back to input order
+        if len(lines) > B:
+            order = sorted(range(len(lines)),
+                           key=lambda j: self._source_length(
+                               lines[j], conf[j] if conf else None))
+            inv = [0] * len(lines)
+            for pos, j in enumerate(order):
+                inv[j] = pos
+            sorted_lines = [lines[j] for j in order]
+            sorted_conf = [conf[j] for j in order] if conf else None
+            res = self._correct_chunks(sorted_lines, sorted_conf, greedy)
+            return tuple([r[inv[j]] for j in range(len(lines))]
+                         for r in res)
+        return self._correct_chunks(lines, conf, greedy)
+
+    def _correct_chunks(self, lines, conf, greedy):
+        B = self.batch_size
+        out_lines, out_probs, out_scores, out_aligns = [], [], [], []
         for i in range(0, len(lines), B):
             chunk = lines[i:i + B]
             chunk_conf = conf[i:i + B] if conf else None

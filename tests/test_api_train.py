@@ -153,3 +153,18 @@ def test_incremental_mapping_growth(trained):
     assert s2s.status == 2  # weights were transferred, still trained
     after, _, _, _ = s2s.correct_lines(PROBES[:1], fast=True, greedy=True)
     assert before == after  # old capability survives embedding transfer
+
+
+def test_length_sorted_multibatch(trained):
+    """Inputs larger than batch_size are sorted by length internally;
+    outputs must come back in input order."""
+    s2s, _, _ = trained
+    lines = (["abca\n", "cab\n"] * (s2s.batch_size // 2 + 2))[
+        :s2s.batch_size + 3]
+    out, probs, scores, aligns = s2s.correct_lines(lines, fast=True,
+                                                   greedy=True)
+    assert len(out) == len(lines)
+    single, _, _, _ = s2s.correct_lines(["abca\n"], fast=True, greedy=True)
+    for line, o in zip(lines, out):
+        if line == "abca\n":
+            assert o == single[0]
