@@ -34,6 +34,9 @@ class Seq2SeqConfig:
     window_width: int = 5
     dropout: float = 0.2
     stateful: bool = False
+    # use the fused Pallas LSTM-step kernel (ops/pallas_lstm.py) for the
+    # per-step decode cells instead of the XLA-fused jnp ops
+    use_pallas_lstm: bool = False
 
     @property
     def attended_size(self):

@@ -95,13 +95,17 @@ def decoder_step(params, config: Seq2SeqConfig, feedback, states, attended,
     """
     depth = config.depth
     layer_states, prev_a = states
+    step = lstm_step
+    if config.use_pallas_lstm:
+        from ..ops.pallas_lstm import lstm_step_auto
+        step = lstm_step_auto
     x = jnp.dot(feedback, params['char_embedding']['kernel'],
                 preferred_element_type=jnp.float32)
     new_states = []
     out = x
     for n in range(depth - 1):
         lw = params['decoder'][n]
-        h, c = lstm_step(out, *layer_states[n], lw)
+        h, c = step(out, *layer_states[n], lw)
         new_states.append((h, c))
         if config.residual_connections and n > 0:
             out = h + out
@@ -127,7 +131,7 @@ def decoder_step(params, config: Seq2SeqConfig, feedback, states, attended,
             + top['cell']['bias']
         h, c = gate_math(z, c_prev)
     else:
-        h, c = lstm_step(cell_in, h_prev, c_prev, top['cell'])
+        h, c = step(cell_in, h_prev, c_prev, top['cell'])
     new_states.append((h, c))
     if config.residual_connections and depth > 1:
         out = h + out

@@ -2,7 +2,6 @@
 
 import math
 
-import pytest
 
 from cor_asv_ann_tpu.lib.alignment import (
     Alignment, Edits, splitwords, L1_HISTLAT_EQV, L2_HISTLAT_EQV)

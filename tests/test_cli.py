@@ -1,7 +1,6 @@
 """CLI surfaces: compare, proc, eval, train (via click test runner)."""
 
 import json
-import os
 
 import numpy as np
 import pytest

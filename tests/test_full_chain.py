@@ -3,9 +3,6 @@ tests/test_all.py:106-303): process -> align -> evaluate(match_on=id) ->
 join -> evaluate(match_on=index) -> mark, asserting the two evaluation
 paths produce identical CER means."""
 
-import numpy as np
-import pytest
-
 from cor_asv_ann_tpu.utils import page as P
 from cor_asv_ann_tpu.utils.workspace import make_workspace
 from cor_asv_ann_tpu.wrapper.align import AlignLines

@@ -6,7 +6,6 @@ encoder outputs and greedy decodes on identical parameters.
 """
 
 import numpy as np
-import jax
 import pytest
 
 from cor_asv_ann_tpu.lib import numpy_ref

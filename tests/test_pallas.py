@@ -4,7 +4,6 @@ import numpy as np
 import jax
 import pytest
 
-from cor_asv_ann_tpu.models.config import _glorot, _orthogonal
 from cor_asv_ann_tpu.ops import lstm
 from cor_asv_ann_tpu.ops.pallas_lstm import lstm_step_fused
 
@@ -28,3 +27,24 @@ def test_fused_matches_reference(B, D, W):
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(c_ref), np.asarray(c_k),
                                atol=1e-5)
+
+
+def test_pallas_flag_decode_matches():
+    """decode_greedy with use_pallas_lstm must byte-match the jnp path."""
+    import dataclasses
+    from cor_asv_ann_tpu.models.config import Seq2SeqConfig, init_params
+    from cor_asv_ann_tpu.models.seq2seq import decode_greedy
+    from cor_asv_ann_tpu.utils.data import CharMapping
+    from conftest import make_onehot_batch
+
+    mapping = CharMapping.from_texts(["abcdefgh .,\n"])
+    config = Seq2SeqConfig(width=16, voc_size=mapping.voc_size)
+    params = init_params(config, seed=5)
+    params['char_embedding']['kernel'] *= 400.0
+    enc = make_onehot_batch(mapping, ["abba dig.\n", "hi.\n"], pad_to=12)
+    newline = mapping.get('\n')
+    idx1, _, len1, _, _ = decode_greedy(params, config, enc, newline)
+    config2 = dataclasses.replace(config, use_pallas_lstm=True)
+    idx2, _, len2, _, _ = decode_greedy(params, config2, enc, newline)
+    np.testing.assert_array_equal(np.asarray(idx1), np.asarray(idx2))
+    np.testing.assert_array_equal(np.asarray(len1), np.asarray(len2))

@@ -1,6 +1,5 @@
 """Evaluate / join / align / mark processors over a synthetic workspace."""
 
-import json
 
 import pytest
 
