@@ -168,3 +168,39 @@ def test_length_sorted_multibatch(trained):
     for line, o in zip(lines, out):
         if line == "abca\n":
             assert o == single[0]
+
+
+def test_beam_oracle_agreement_trained(trained):
+    """On the trained model, the device beam's 1-best must agree with the
+    reference-semantics NumPy oracle (global best-first queue)."""
+    from cor_asv_ann_tpu.lib import numpy_ref
+    from cor_asv_ann_tpu.models import beam
+    from cor_asv_ann_tpu.utils.data import vectorize_lines
+
+    s2s, _, _ = trained
+    enc, _, _, _ = vectorize_lines(s2s.mapping, PROBES, ['' for _ in PROBES],
+                                   bucketed=False, pad_encoder=8,
+                                   pad_decoder=9)
+    T = enc.shape[1]
+    src_len = np.full(len(PROBES), T, np.int32)  # oracle uses padded len0
+    bp = beam.BeamParams(reservoir=48, expand=8, beam_width_in=6,
+                         beam_width_out=4,
+                         rejection_threshold=s2s.rejection_threshold)
+    out = {k: np.asarray(v) for k, v in beam.decode_beam(
+        s2s.params, s2s.config, bp, enc, s2s.mapping.get('\n'),
+        src_len).items()}
+    agree = 0
+    for j in range(len(PROBES)):
+        gen = numpy_ref.decode_sequence_beam(
+            s2s.params, s2s.config.as_dict(), s2s.mapping, enc[j],
+            rejection_threshold=s2s.rejection_threshold, beam_width_in=6,
+            beam_threshold_in=0.2, beam_width_out=4, batch_size=8)
+        try:
+            ref_txt, _, _, _ = next(gen)
+        except StopIteration:
+            continue
+        L = out['length'][j, 0]
+        ours = ''.join(s2s.mapping.i2c[int(i)]
+                       for i in out['idx'][j, 0, :L])
+        agree += ours == ref_txt
+    assert agree >= len(PROBES) - 1, agree
