@@ -51,6 +51,10 @@ class Sequence2Sequence:
         self.dropout = 0.2
         self.learning_rate = 1e-3  # Keras Adam default (seq2seq.py:496)
         self.patience = 3           # early-stopping patience (seq2seq.py:619)
+        # inference compute dtype: 'float32' (reference parity) or
+        # 'bfloat16' (MXU-native, ~2x matmul throughput, tiny CER impact;
+        # master weights stay float32)
+        self.compute = 'float32'
         # beam decoder parameters
         self.rejection_threshold = 0.3
         self.beam_width_in = 15
@@ -253,15 +257,33 @@ class Sequence2Sequence:
                 out_aligns.append(res[3][j])
         return out_lines, out_probs, out_scores, out_aligns
 
+    def _infer_params(self):
+        """Parameters for inference: float32 masters, or a cached
+        bfloat16 copy when self.compute == 'bfloat16'."""
+        if self.compute != 'bfloat16':
+            return self.params
+        import jax
+        import jax.numpy as jnp
+        cached = getattr(self, '_bf16_params', None)
+        if cached is None or cached[0] is not self.params:
+            bf16 = jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.bfloat16)
+                if hasattr(a, 'dtype') and a.dtype == jnp.float32 else a,
+                jax.tree_util.tree_map(jnp.asarray, self.params))
+            self._bf16_params = (self.params, bf16)
+            cached = self._bf16_params
+        return cached[1]
+
     def _correct_batch(self, lines, conf, greedy):
         enc, _, _, _ = vectorize_lines(
             self.mapping, lines, ['' for _ in lines], confs=conf,
             logger=self.logger)
         newline = self.mapping.get('\n')
         B, T, V = enc.shape
+        params = self._infer_params()
         if greedy:
             idx, prob, length, score, aligns = decode_greedy(
-                self.params, self.config, enc, newline,
+                params, self.config, enc, newline,
                 return_alignments=True)
             idx = np.asarray(idx)
             prob = np.asarray(prob)
@@ -283,7 +305,7 @@ class Sequence2Sequence:
             [self._source_length(l, c)
              for l, c in zip(lines, conf or [None] * len(lines))],
             np.int32)
-        out = decode_beam(self.params, self.config, self._beam_params(),
+        out = decode_beam(params, self.config, self._beam_params(),
                           enc, newline, src_len)
         out = {k: np.asarray(v) for k, v in out.items()}
         out_lines, out_probs, out_scores, out_aligns = [], [], [], []

@@ -54,7 +54,7 @@ import jax.numpy as jnp
 
 from .config import Seq2SeqConfig
 from .seq2seq import encode
-from ..ops.lstm import lstm_step
+from ..ops.lstm import lstm_step, mm
 
 INF = jnp.inf
 
@@ -99,9 +99,7 @@ def beam_decoder_step(params, config, feedback, layer_states, aw, astart,
     B, K, V = feedback.shape
     T = attended.shape[1]
     WIN = aw.shape[-1]
-    x = jnp.einsum('bkv,vw->bkw', feedback,
-                   params['char_embedding']['kernel'],
-                   preferred_element_type=jnp.float32)
+    x = mm(feedback, params['char_embedding']['kernel'])
     new_states = []
     out = x
     for n in range(depth - 1):
@@ -124,12 +122,9 @@ def beam_decoder_step(params, config, feedback, layer_states, aw, astart,
     win_ix = jnp.minimum(win_ix, T - 1)
     u_w = _gather_rows(u, win_ix)                                  # B,K,WIN,W
     att_w = _gather_rows(attended, win_ix)                         # B,K,WIN,A
-    w_vec = jnp.einsum('bkw,wu->bku', h_prev, top['W_a'],
-                       preferred_element_type=jnp.float32) + top['b_UW']
-    e = jnp.exp(jnp.einsum('bknu,uo->bkno',
-                           jnp.tanh(w_vec[:, :, None, :] + u_w),
-                           top['v_a'],
-                           preferred_element_type=jnp.float32)[..., 0]
+    w_vec = mm(h_prev, top['W_a']) + top['b_UW']
+    e = jnp.exp(mm(jnp.tanh(w_vec[:, :, None, :] + u_w),
+                   top['v_a'])[..., 0]
                 + top['b_v'])                                      # B,K,WIN
     visible = jnp.abs(t0[..., None] - win_ix.astype(t0.dtype)) <= ww
     e = e * visible
@@ -143,9 +138,7 @@ def beam_decoder_step(params, config, feedback, layer_states, aw, astart,
         out = h + out
     else:
         out = h
-    logits = jnp.einsum('bkw,vw->bkv', out,
-                        params['char_embedding']['kernel'],
-                        preferred_element_type=jnp.float32)
+    logits = mm(out, params['char_embedding']['kernel'].T)
     probs = jax.nn.softmax(logits, axis=-1)
     exp_pos = jnp.sum(a_w * win_ix.astype(a_w.dtype), axis=-1)
     if not with_lm:
@@ -165,9 +158,7 @@ def beam_decoder_step(params, config, feedback, layer_states, aw, astart,
         lm_out = h_lm + lm_out
     else:
         lm_out = h_lm
-    lm_logits = jnp.einsum('bkw,vw->bkv', lm_out,
-                           params['char_embedding']['kernel'],
-                           preferred_element_type=jnp.float32)
+    lm_logits = mm(lm_out, params['char_embedding']['kernel'].T)
     lm_probs = jax.nn.softmax(lm_logits, axis=-1)
     return probs, tuple(new_states), a_w, new_start, exp_pos, lm_probs
 

@@ -21,7 +21,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from ..ops.lstm import lstm_scan, lstm_step, gate_math
+from ..ops.lstm import lstm_scan, lstm_step, gate_math, mm
 from ..ops.attention import attention_step
 from .config import Seq2SeqConfig
 
@@ -42,8 +42,7 @@ def encode(params, config: Seq2SeqConfig, enc_input, dropout_rng=None,
     (zero-vector timesteps, no Keras mask — seq2seq.py:1026-1043).
     """
     depth, deep = config.depth, config.deep_bidirectional_encoder
-    x = jnp.dot(enc_input, params['char_embedding']['kernel'],
-                preferred_element_type=jnp.float32)
+    x = mm(enc_input, params['char_embedding']['kernel'])
     out = x
     states = []
     for n in range(depth):
@@ -73,15 +72,13 @@ def encode(params, config: Seq2SeqConfig, enc_input, dropout_rng=None,
             h = jnp.tanh(jnp.dot(h, bw_['h']['kernel']) + bw_['h']['bias'])
             c = jnp.tanh(jnp.dot(c, bw_['c']['kernel']) + bw_['c']['bias'])
         states.append((h, c))
-    u = jnp.dot(out, params['attention_dense']['kernel'],
-                preferred_element_type=jnp.float32)
+    u = mm(out, params['attention_dense']['kernel'])
     return out, states, u
 
 
 def _output_probs(params, h):
     """Weight-tied softmax output projection (seq2seq.py:369-382)."""
-    logits = jnp.dot(h, params['char_embedding']['kernel'].T,
-                     preferred_element_type=jnp.float32)
+    logits = mm(h, params['char_embedding']['kernel'].T)
     return jax.nn.softmax(logits, axis=-1)
 
 
@@ -99,8 +96,7 @@ def decoder_step(params, config: Seq2SeqConfig, feedback, states, attended,
     if config.use_pallas_lstm:
         from ..ops.pallas_lstm import lstm_step_auto
         step = lstm_step_auto
-    x = jnp.dot(feedback, params['char_embedding']['kernel'],
-                preferred_element_type=jnp.float32)
+    x = mm(feedback, params['char_embedding']['kernel'])
     new_states = []
     out = x
     for n in range(depth - 1):
@@ -167,8 +163,7 @@ def _decode_teacher(params, config, dec_input, states, attended, u,
                     dropout_rng=None, train=False):
     depth = config.depth
     B, Td, V = dec_input.shape
-    x = jnp.dot(dec_input, params['char_embedding']['kernel'],
-                preferred_element_type=jnp.float32)
+    x = mm(dec_input, params['char_embedding']['kernel'])
     out = x
     # plain lower decoder layers: full scan with hoisted input projection
     for n in range(depth - 1):
@@ -213,10 +208,8 @@ def _decode_teacher(params, config, dec_input, states, attended, u,
                           preferred_element_type=jnp.float32) \
                 + top['cell']['bias']
         else:
-            z = jnp.dot(cell_in, top['cell']['kernel'],
-                        preferred_element_type=jnp.float32) \
-                + jnp.dot(h, top['cell']['recurrent_kernel'],
-                          preferred_element_type=jnp.float32) \
+            z = mm(cell_in, top['cell']['kernel']) \
+                + mm(h, top['cell']['recurrent_kernel']) \
                 + top['cell']['bias']
         h_new, c_new = gate_math(z, c)
         return (h_new, c_new, a_new), h_new

@@ -24,11 +24,10 @@ def attention_step(W_a, v_a, b_UW, b_v, h_prev, prev_a, attended, u,
     alignment; attended (B, T, A); u (B, T, W) precomputed projection.
     Returns (context (B, A), alignment (B, T)).
     """
+    from .lstm import mm
     T = attended.shape[1]
-    w = jnp.dot(h_prev, W_a, preferred_element_type=jnp.float32) + b_UW
-    e = jnp.exp(
-        jnp.dot(jnp.tanh(w[:, None, :] + u), v_a,
-                preferred_element_type=jnp.float32) + b_v)[..., 0]  # (B, T)
+    w = mm(h_prev, W_a) + b_UW
+    e = jnp.exp(mm(jnp.tanh(w[:, None, :] + u), v_a) + b_v)[..., 0]
     if window_width and window_width > 0:
         steps = jnp.arange(T, dtype=e.dtype)
         t0 = jnp.dot(prev_a, steps, preferred_element_type=jnp.float32) + 1.0

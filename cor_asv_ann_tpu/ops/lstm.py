@@ -27,12 +27,16 @@ def gate_math(z, c_prev):
     return h, c
 
 
+def mm(a, w):
+    """Matmul with the activation cast to the weight dtype (enables bf16
+    compute when params are bf16) and float32 accumulation."""
+    return jnp.dot(a.astype(w.dtype), w,
+                   preferred_element_type=jnp.float32)
+
+
 def lstm_step(x, h, c, w):
     """Single LSTM step: x (B, D), h/c (B, N). Returns (h, c)."""
-    z = (jnp.dot(x, w['kernel'], preferred_element_type=jnp.float32)
-         + jnp.dot(h, w['recurrent_kernel'],
-                   preferred_element_type=jnp.float32)
-         + w['bias'])
+    z = mm(x, w['kernel']) + mm(h, w['recurrent_kernel']) + w['bias']
     return gate_math(z, c)
 
 
@@ -45,15 +49,14 @@ def lstm_scan(xs, w, h0=None, c0=None, reverse=False):
     B, T, _ = xs.shape
     N = w['recurrent_kernel'].shape[0]
     dtype = xs.dtype
-    h = jnp.zeros((B, N), dtype) if h0 is None else h0
-    c = jnp.zeros((B, N), dtype) if c0 is None else c0
-    zx = jnp.dot(xs, w['kernel'], preferred_element_type=jnp.float32) \
-        + w['bias']
+    h = jnp.zeros((B, N), jnp.float32) if h0 is None else h0
+    c = jnp.zeros((B, N), jnp.float32) if c0 is None else c0
+    zx = mm(xs, w['kernel']) + w['bias']
     rk = w['recurrent_kernel']
 
     def body(carry, z_t):
         h, c = carry
-        z = z_t + jnp.dot(h, rk, preferred_element_type=jnp.float32)
+        z = z_t + mm(h, rk)
         h, c = gate_math(z, c)
         return (h, c), h
 

@@ -204,3 +204,16 @@ def test_beam_oracle_agreement_trained(trained):
                        for i in out['idx'][j, 0, :L])
         agree += ours == ref_txt
     assert agree >= len(PROBES) - 1, agree
+
+
+def test_bfloat16_inference(trained):
+    """bfloat16 compute keeps decode quality (tiny CER delta)."""
+    s2s, _, _ = trained
+    f32, _, _, _ = s2s.correct_lines(PROBES, fast=True, greedy=True)
+    s2s.compute = 'bfloat16'
+    try:
+        bf16, _, _, _ = s2s.correct_lines(PROBES, fast=True, greedy=True)
+    finally:
+        s2s.compute = 'float32'
+    rates = [cer(a, b) for a, b in zip(bf16, f32)]
+    assert np.mean(rates) < 0.15, (f32, bf16)
