@@ -44,10 +44,16 @@ def make_lines(mapping, batch, length, pad):
     return enc
 
 
-def bench_tpu(params, config, mapping, enc, repeats=5):
+def bench_tpu(params, config, mapping, enc, repeats=10):
+    """Greedy decode throughput with bfloat16 compute (the production
+    inference mode, s2s.compute='bfloat16'; float32 masters, float32
+    accumulation — see models/api.py)."""
     import jax
+    import jax.numpy as jnp
     from cor_asv_ann_tpu.models.seq2seq import decode_greedy
     newline = mapping.get('\n')
+    params = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a).astype(jnp.bfloat16), params)
     out = decode_greedy(params, config, enc, newline)
     jax.block_until_ready(out[0])  # compile
     times = []
