@@ -282,8 +282,11 @@ def decode_beam(params, config: Seq2SeqConfig, bp: BeamParams, enc_input,
         cand_p = cand_p.at[..., last].set(
             jnp.where(force, jnp.maximum(rej_p, bp.rejection_threshold),
                       cand_p[..., last]))
-        valid = valid.at[..., last].set(force | valid[..., last])
         is_rej = rej_ok[..., None] & (cand_idx == rej_idx[..., None])
+        # the rejection candidate is admitted regardless of the relative
+        # threshold (the reference keeps scanning past the cutoff until
+        # it is found, seq2seq.py:1497-1501)
+        valid = valid.at[..., last].set(force | valid[..., last]) | is_rej
 
         if bp.lm_predict:
             # LM probability rates the hypothesis globally; decoder
