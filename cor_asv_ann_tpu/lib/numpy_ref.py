@@ -48,8 +48,11 @@ def lstm_step(x, h, c, kernel, recurrent_kernel, bias):
     return h_new, c_new
 
 
-def lstm_seq(xs, w, h0=None, c0=None, reverse=False):
-    """Run an LSTM over (B, T, D) inputs. Returns (outputs(B,T,N), h, c)."""
+def lstm_seq(xs, w, h0=None, c0=None, reverse=False, mask=None):
+    """Run an LSTM over (B, T, D) inputs. Returns (outputs(B,T,N), h, c).
+
+    With `mask` (B, T), masked timesteps pass the carry through and emit
+    zero outputs (mask_padding mode; see ops/lstm.py)."""
     B, T, _ = xs.shape
     N = w['recurrent_kernel'].shape[0]
     h = np.zeros((B, N), xs.dtype) if h0 is None else h0
@@ -57,9 +60,16 @@ def lstm_seq(xs, w, h0=None, c0=None, reverse=False):
     out = np.zeros((B, T, N), xs.dtype)
     steps = range(T - 1, -1, -1) if reverse else range(T)
     for t in steps:
-        h, c = lstm_step(xs[:, t], h, c, w['kernel'],
-                         w['recurrent_kernel'], w['bias'])
-        out[:, t] = h
+        h_new, c_new = lstm_step(xs[:, t], h, c, w['kernel'],
+                                 w['recurrent_kernel'], w['bias'])
+        if mask is not None:
+            m = mask[:, t][:, None]
+            h = np.where(m, h_new, h)
+            c = np.where(m, c_new, c)
+            out[:, t] = np.where(m, h_new, 0.0)
+        else:
+            h, c = h_new, c_new
+            out[:, t] = h
     return out, h, c
 
 
@@ -80,6 +90,8 @@ def encode(params, config, enc_input):
     depth = config['depth']
     deep_bidir = config.get('deep_bidirectional_encoder', False)
     residual = config.get('residual_connections', False)
+    mask = (np.any(enc_input != 0, axis=2)
+            if config.get('mask_padding') else None)
     x = enc_input @ params['char_embedding']['kernel']
     states = []
     out = x
@@ -87,12 +99,13 @@ def encode(params, config, enc_input):
         lw = params['encoder'][n]
         if n == 0 or deep_bidir:
             inp = out if n == 0 else cross_sum(out)
-            fw_out, fw_h, fw_c = lstm_seq(inp, lw['fw'])
-            bw_out, bw_h, bw_c = lstm_seq(inp, lw['bw'], reverse=True)
+            fw_out, fw_h, fw_c = lstm_seq(inp, lw['fw'], mask=mask)
+            bw_out, bw_h, bw_c = lstm_seq(inp, lw['bw'], reverse=True,
+                                          mask=mask)
             out = np.concatenate([fw_out, bw_out], axis=-1)
             h, c = bw_h, bw_c  # backward final states init the decoder
         else:
-            out2, h, c = lstm_seq(out, lw)
+            out2, h, c = lstm_seq(out, lw, mask=mask)
             if residual and n >= 2:
                 out = out2 + out
             else:
@@ -107,24 +120,29 @@ def encode(params, config, enc_input):
     return out, states, attn0, u
 
 
-def attention_step(params_top, h_prev, prev_a, attended, u, window_width=5):
+def attention_step(params_top, h_prev, prev_a, attended, u, window_width=5,
+                   mask=None):
     """Local additive attention. Returns (context(B,A), alignment(B,T))."""
     B, T, _ = attended.shape
     w = h_prev @ params_top['W_a'] + params_top['b_UW']          # (B, W)
     e = np.exp(np.tanh(w[:, None, :] + u) @ params_top['v_a']
                + params_top['b_v'])                               # (B, T, 1)
     e = e[..., 0]
+    if mask is not None:
+        e = e * mask
     if window_width and window_width > 0:
         steps = np.arange(T, dtype=attended.dtype)
         t0 = prev_a @ steps + 1.0                                 # (B,)
         visible = np.abs(t0[:, None] - steps[None, :]) <= window_width
         e = e * visible
-    a = e / np.sum(e, axis=1, keepdims=True)
+    denom = np.sum(e, axis=1, keepdims=True)
+    a = e / np.where(denom > 0, denom, 1.0)
     ctx = np.einsum('bt,bta->ba', a, attended)
     return ctx, a
 
 
-def decoder_step(params, config, dec_input, states, attended, u):
+def decoder_step(params, config, dec_input, states, attended, u,
+                 enc_mask=None):
     """One decoder step over all layers.
 
     `dec_input` (B, V) is the previous softmax distribution (or one-hot);
@@ -150,7 +168,7 @@ def decoder_step(params, config, dec_input, states, attended, u):
     top = params['decoder'][depth - 1]
     h, c = layer_states[depth - 1]
     ctx, a = attention_step(top, h, prev_a, attended, u,
-                            config.get('window_width', 5))
+                            config.get('window_width', 5), mask=enc_mask)
     cell_in = np.concatenate([out, ctx], axis=-1)
     h, c = lstm_step(cell_in, h, c, top['cell']['kernel'],
                      top['cell']['recurrent_kernel'], top['cell']['bias'])
@@ -175,6 +193,8 @@ def decode_batch_greedy(params, config, mapping, enc_input, max_steps=None):
     """
     B, T, V = enc_input.shape
     attended, states, attn0, u = encode(params, config, enc_input)
+    enc_mask = (np.any(enc_input != 0, axis=2)
+                if config.get('mask_padding') else None)
     layer_states = list(states)
     dec_state = (layer_states, attn0)
     feedback = np.zeros((B, V), dtype=enc_input.dtype)
@@ -186,7 +206,7 @@ def decode_batch_greedy(params, config, mapping, enc_input, max_steps=None):
     steps = max_steps or T * 2
     for _ in range(steps):
         p, dec_state, a = decoder_step(params, config, feedback, dec_state,
-                                       attended, u)
+                                       attended, u, enc_mask=enc_mask)
         idx = np.argmax(p[:, 1:], axis=1) + 1
         feedback = p  # soft/confidence input
         for j in range(B):
@@ -252,6 +272,8 @@ def decode_sequence_beam(params, config, mapping, source_seq,
     enc_input = source_seq[None]
     V = enc_input.shape[2]
     attended, states, attn0, u = encode(params, config, enc_input)
+    enc_mask = (np.any(enc_input != 0, axis=2)
+                if config.get('mask_padding') else None)
     attended_len = attended.shape[1]
     layer_states = list(states)
     next_beam = [_BeamNode(state=(layer_states, attn0), value='',
@@ -283,7 +305,10 @@ def decode_sequence_beam(params, config, mapping, source_seq,
         att = np.broadcast_to(attended, (len(beam),) + attended.shape[1:])
         uu = np.broadcast_to(u, (len(beam),) + u.shape[1:])
         probs, (new_layers, a_new), _ = decoder_step(
-            params, config, feedback, hyp_states, att, uu)
+            params, config, feedback, hyp_states, att, uu,
+            enc_mask=np.broadcast_to(enc_mask, (len(beam),) +
+                                     enc_mask.shape[1:])
+            if enc_mask is not None else None)
         for i, node in enumerate(beam):
             states_i = ([(h[i:i + 1], c[i:i + 1]) for h, c in new_layers],
                         a_new[i:i + 1])

@@ -100,7 +100,12 @@ class Sequence2Sequence:
             residual_connections=bool(self.residual_connections),
             deep_bidirectional_encoder=bool(self.deep_bidirectional_encoder),
             bridge_dense=bool(self.bridge_dense),
-            dropout=float(self.dropout), stateful=bool(self.stateful))
+            dropout=float(self.dropout), stateful=bool(self.stateful),
+            # length-masked recurrence/attention: results independent of
+            # padded length and batchmates (see Seq2SeqConfig docs);
+            # reference-parity (run-through) mode is available by setting
+            # s2s.keras_padding = True before configure()
+            mask_padding=not getattr(self, 'keras_padding', False))
         if self.params is None or self.status < 2:
             self.params = init_params(self.config)
         self.logger.info(

@@ -81,7 +81,7 @@ def _gather_rows(x, ix):
 
 
 def beam_decoder_step(params, config, feedback, layer_states, aw, astart,
-                      attended, u, with_lm=False):
+                      attended, u, with_lm=False, src_lengths=None):
     """One decoder step over (B, K) hypotheses with windowed attention.
 
     feedback (B,K,V); layer_states: tuple of (h, c) each (B,K,W);
@@ -127,8 +127,11 @@ def beam_decoder_step(params, config, feedback, layer_states, aw, astart,
                    top['v_a'])[..., 0]
                 + top['b_v'])                                      # B,K,WIN
     visible = jnp.abs(t0[..., None] - win_ix.astype(t0.dtype)) <= ww
+    if src_lengths is not None:
+        visible = visible & (win_ix < src_lengths[:, None, None])
     e = e * visible
-    a_w = e / jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
+    denom = jnp.sum(e, axis=-1, keepdims=True)
+    a_w = e / jnp.where(denom > 0, denom, 1.0)  # safe divide (see attention.py)
     ctx = jnp.einsum('bkn,bkna->bka', a_w, att_w,
                      preferred_element_type=jnp.float32)
     cell_in = jnp.concatenate([out, ctx], axis=-1)
@@ -180,6 +183,8 @@ def decode_beam(params, config: Seq2SeqConfig, bp: BeamParams, enc_input,
     S = max_steps or 2 * T
     WIN = min(2 * config.window_width + 2, T)
     attended, states, u = encode(params, config, enc_input)
+    lengths = (jnp.sum(jnp.any(enc_input != 0, axis=2), axis=1)
+               if config.mask_padding else None)
 
     src_any = jnp.any(enc_input != 0, axis=2)                     # (B, T)
     src_top = jnp.argmax(enc_input, axis=2).astype(jnp.int32)     # (B, T)
@@ -245,7 +250,7 @@ def decode_beam(params, config: Seq2SeqConfig, bp: BeamParams, enc_input,
         # --- decoder step for the expansion set -----------------------
         step_out = beam_decoder_step(
             params, config, e_feedback, list(e_h), e_aw, e_astart,
-            attended, u, with_lm=bp.lm_predict)
+            attended, u, with_lm=bp.lm_predict, src_lengths=lengths)
         probs, n_h, a_w, a_start, new_exp = step_out[:5]
         lm_probs = step_out[5] if bp.lm_predict else None
 

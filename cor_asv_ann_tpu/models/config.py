@@ -37,6 +37,12 @@ class Seq2SeqConfig:
     # use the fused Pallas LSTM-step kernel (ops/pallas_lstm.py) for the
     # per-step decode cells instead of the XLA-fused jnp ops
     use_pallas_lstm: bool = False
+    # mask the encoder recurrence and attention at true line lengths so
+    # results are independent of padded length and batchmates (the
+    # reference runs padding through the recurrence, which couples model
+    # behavior to the padding distribution; the high-level API enables
+    # this, the raw functions default to reference parity)
+    mask_padding: bool = False
 
     @property
     def attended_size(self):

@@ -42,6 +42,9 @@ def encode(params, config: Seq2SeqConfig, enc_input, dropout_rng=None,
     (zero-vector timesteps, no Keras mask — seq2seq.py:1026-1043).
     """
     depth, deep = config.depth, config.deep_bidirectional_encoder
+    mask = None
+    if config.mask_padding:
+        mask = jnp.any(enc_input != 0, axis=2)  # (B, T) true line extent
     x = mm(enc_input, params['char_embedding']['kernel'])
     out = x
     states = []
@@ -49,12 +52,13 @@ def encode(params, config: Seq2SeqConfig, enc_input, dropout_rng=None,
         lw = params['encoder'][n]
         if n == 0 or deep:
             inp = out if n == 0 else cross_sum(out)
-            fw_out, _fh, _fc = lstm_scan(inp, lw['fw'])
-            bw_out, h, c = lstm_scan(inp, lw['bw'], reverse=True)
+            fw_out, _fh, _fc = lstm_scan(inp, lw['fw'], mask=mask)
+            bw_out, h, c = lstm_scan(inp, lw['bw'], reverse=True,
+                                     mask=mask)
             out2 = jnp.concatenate([fw_out, bw_out], axis=-1)
             out = out2
         else:
-            out2, h, c = lstm_scan(out, lw)
+            out2, h, c = lstm_scan(out, lw, mask=mask)
             if config.residual_connections and n >= 2:
                 out = out2 + out
             else:
@@ -83,7 +87,7 @@ def _output_probs(params, h):
 
 
 def decoder_step(params, config: Seq2SeqConfig, feedback, states, attended,
-                 u, input_dropout_masks=None):
+                 u, input_dropout_masks=None, enc_mask=None):
     """One decoder step for all layers.
 
     feedback (B, V): previous softmax output (or one-hot teacher input);
@@ -111,7 +115,7 @@ def decoder_step(params, config: Seq2SeqConfig, feedback, states, attended,
     h_prev, c_prev = layer_states[depth - 1]
     ctx, a = attention_step(top['W_a'], top['v_a'], top['b_UW'], top['b_v'],
                             h_prev, prev_a, attended, u,
-                            config.window_width)
+                            config.window_width, mask=enc_mask)
     cell_in = jnp.concatenate([out, ctx], axis=-1)
     if input_dropout_masks is not None:
         # Keras LSTMCell input dropout: 4 masks, one per gate, constant
@@ -146,21 +150,22 @@ def forward_teacher(params, config: Seq2SeqConfig, enc_input, dec_input,
     """
     attended, states, u = encode(params, config, enc_input, dropout_rng,
                                  train)
-    B, T, _ = enc_input.shape
+    enc_mask = (jnp.any(enc_input != 0, axis=2)
+                if config.mask_padding else None)
     probs = _decode_teacher(params, config, dec_input, states, attended, u,
-                            dropout_rng, train)
+                            dropout_rng, train, enc_mask=enc_mask)
     if not lm:
         return probs
     zero_states = [(jnp.zeros_like(h), jnp.zeros_like(c))
                    for h, c in states]
     lm_probs = _decode_teacher(params, config, dec_input, zero_states,
                                jnp.zeros_like(attended), jnp.zeros_like(u),
-                               dropout_rng, train)
+                               dropout_rng, train, enc_mask=enc_mask)
     return probs, lm_probs
 
 
 def _decode_teacher(params, config, dec_input, states, attended, u,
-                    dropout_rng=None, train=False):
+                    dropout_rng=None, train=False, enc_mask=None):
     depth = config.depth
     B, Td, V = dec_input.shape
     x = mm(dec_input, params['char_embedding']['kernel'])
@@ -196,7 +201,7 @@ def _decode_teacher(params, config, dec_input, states, attended, u,
         h, c, a = carry
         ctx, a_new = attention_step(top['W_a'], top['v_a'], top['b_UW'],
                                     top['b_v'], h, a, attended, u,
-                                    config.window_width)
+                                    config.window_width, mask=enc_mask)
         cell_in = jnp.concatenate([x_t, ctx], axis=-1)
         if masks is not None:
             ks = [jnp.dot(cell_in * masks[g],
@@ -245,6 +250,8 @@ def decode_greedy(params, config: Seq2SeqConfig, enc_input,
     B, T, V = enc_input.shape
     S = max_steps or 2 * T
     attended, states, u = encode(params, config, enc_input)
+    enc_mask = (jnp.any(enc_input != 0, axis=2)
+                if config.mask_padding else None)
     a0 = jnp.zeros((B, T), attended.dtype)
     live0 = jnp.any(enc_input.reshape(B, -1) != 0, axis=1)
 
@@ -268,7 +275,7 @@ def decode_greedy(params, config: Seq2SeqConfig, enc_input,
     def body(s):
         probs, (layers, a), _ = decoder_step(
             params, config, s['feedback'], (list(s['layers']), s['align']),
-            attended, u)
+            attended, u, enc_mask=enc_mask)
         idx = jnp.argmax(probs[:, 1:], axis=1).astype(jnp.int32) + 1
         p = jnp.take_along_axis(probs, idx[:, None], axis=1)[:, 0]
         active = ~s['done']
@@ -317,6 +324,8 @@ def decode_greedy_windowed(params, config: Seq2SeqConfig, enc_input,
     S = max_steps or 2 * T
     WIN = min(2 * config.window_width + 2, T)
     attended, states, u = encode(params, config, enc_input)
+    lengths = (jnp.sum(jnp.any(enc_input != 0, axis=2), axis=1)
+               if config.mask_padding else None)
     live0 = jnp.any(enc_input.reshape(B, -1) != 0, axis=1)
 
     state0 = dict(
@@ -340,7 +349,7 @@ def decode_greedy_windowed(params, config: Seq2SeqConfig, enc_input,
     def body(s):
         probs, layers, a_w, a_start, _exp = beam_decoder_step(
             params, config, s['feedback'], list(s['layers']),
-            s['aw'], s['astart'], attended, u)
+            s['aw'], s['astart'], attended, u, src_lengths=lengths)
         p1 = probs[:, 0]
         idx = jnp.argmax(p1[:, 1:], axis=1).astype(jnp.int32) + 1
         p = jnp.take_along_axis(p1, idx[:, None], axis=1)[:, 0]

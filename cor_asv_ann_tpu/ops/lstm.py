@@ -40,26 +40,47 @@ def lstm_step(x, h, c, w):
     return gate_math(z, c)
 
 
-def lstm_scan(xs, w, h0=None, c0=None, reverse=False):
+def lstm_scan(xs, w, h0=None, c0=None, reverse=False, mask=None):
     """Run an LSTM over xs (B, T, D). Returns (outputs (B, T, N), h, c).
 
     The input projection runs as one batched matmul over all timesteps;
     the scan carries (h, c) and consumes precomputed preactivations.
+
+    With `mask` (B, T) the recurrence skips masked-out timesteps (the
+    carry passes through unchanged and the output is zero there) — this
+    makes results independent of padded length. Without it, padding runs
+    through the recurrence like the reference (seq2seq.py:1026-1043).
     """
     B, T, _ = xs.shape
     N = w['recurrent_kernel'].shape[0]
-    dtype = xs.dtype
     h = jnp.zeros((B, N), jnp.float32) if h0 is None else h0
     c = jnp.zeros((B, N), jnp.float32) if c0 is None else c0
     zx = mm(xs, w['kernel']) + w['bias']
     rk = w['recurrent_kernel']
 
-    def body(carry, z_t):
-        h, c = carry
-        z = z_t + mm(h, rk)
-        h, c = gate_math(z, c)
-        return (h, c), h
+    if mask is None:
+        def body(carry, z_t):
+            h, c = carry
+            z = z_t + mm(h, rk)
+            h, c = gate_math(z, c)
+            return (h, c), h
 
-    zx_t = jnp.swapaxes(zx, 0, 1)  # (T, B, 4N) scan over time
-    (h, c), out = jax.lax.scan(body, (h, c), zx_t, reverse=reverse)
+        zx_t = jnp.swapaxes(zx, 0, 1)  # (T, B, 4N) scan over time
+        (h, c), out = jax.lax.scan(body, (h, c), zx_t, reverse=reverse)
+        return jnp.swapaxes(out, 0, 1), h, c
+
+    def body(carry, inp):
+        h, c = carry
+        z_t, m_t = inp
+        z = z_t + mm(h, rk)
+        h_new, c_new = gate_math(z, c)
+        m = m_t[:, None]
+        h = jnp.where(m, h_new, h)
+        c = jnp.where(m, c_new, c)
+        return (h, c), jnp.where(m, h_new, 0.0)
+
+    zx_t = jnp.swapaxes(zx, 0, 1)
+    mask_t = jnp.swapaxes(mask, 0, 1)
+    (h, c), out = jax.lax.scan(body, (h, c), (zx_t, mask_t),
+                               reverse=reverse)
     return jnp.swapaxes(out, 0, 1), h, c
