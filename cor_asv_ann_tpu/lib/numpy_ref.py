@@ -125,18 +125,20 @@ def attention_step(params_top, h_prev, prev_a, attended, u, window_width=5,
     """Local additive attention. Returns (context(B,A), alignment(B,T))."""
     B, T, _ = attended.shape
     w = h_prev @ params_top['W_a'] + params_top['b_UW']          # (B, W)
-    e = np.exp(np.tanh(w[:, None, :] + u) @ params_top['v_a']
-               + params_top['b_v'])                               # (B, T, 1)
-    e = e[..., 0]
+    s = (np.tanh(w[:, None, :] + u) @ params_top['v_a']
+         + params_top['b_v'])[..., 0]                             # (B, T)
+    keep = np.ones_like(s, dtype=bool)
     if mask is not None:
-        e = e * mask
+        keep &= mask.astype(bool)
     if window_width and window_width > 0:
         steps = np.arange(T, dtype=attended.dtype)
         t0 = prev_a @ steps + 1.0                                 # (B,)
-        visible = np.abs(t0[:, None] - steps[None, :]) <= window_width
-        e = e * visible
-    denom = np.sum(e, axis=1, keepdims=True)
-    a = e / np.where(denom > 0, denom, 1.0)
+        keep &= np.abs(t0[:, None] - steps[None, :]) <= window_width
+    s = np.where(keep, s, -1e30)
+    s = s - s.max(axis=1, keepdims=True)
+    e = np.exp(s)
+    a = e / np.sum(e, axis=1, keepdims=True)
+    a = a * np.any(keep, axis=1, keepdims=True)
     ctx = np.einsum('bt,bta->ba', a, attended)
     return ctx, a
 

@@ -123,15 +123,16 @@ def beam_decoder_step(params, config, feedback, layer_states, aw, astart,
     u_w = _gather_rows(u, win_ix)                                  # B,K,WIN,W
     att_w = _gather_rows(attended, win_ix)                         # B,K,WIN,A
     w_vec = mm(h_prev, top['W_a']) + top['b_UW']
-    e = jnp.exp(mm(jnp.tanh(w_vec[:, :, None, :] + u_w),
-                   top['v_a'])[..., 0]
-                + top['b_v'])                                      # B,K,WIN
+    s_en = (mm(jnp.tanh(w_vec[:, :, None, :] + u_w),
+               top['v_a'])[..., 0]
+            + top['b_v'])                                          # B,K,WIN
     visible = jnp.abs(t0[..., None] - win_ix.astype(t0.dtype)) <= ww
     if src_lengths is not None:
         visible = visible & (win_ix < src_lengths[:, None, None])
-    e = e * visible
-    denom = jnp.sum(e, axis=-1, keepdims=True)
-    a_w = e / jnp.where(denom > 0, denom, 1.0)  # safe divide (see attention.py)
+    # stable softmax over the window (see ops/attention.py)
+    s_en = jnp.where(visible, s_en, -1e30)
+    a_w = jax.nn.softmax(s_en, axis=-1)
+    a_w = a_w * jnp.any(visible, axis=-1, keepdims=True)
     ctx = jnp.einsum('bkn,bkna->bka', a_w, att_w,
                      preferred_element_type=jnp.float32)
     cell_in = jnp.concatenate([out, ctx], axis=-1)

@@ -13,6 +13,7 @@ attention.py:544-569), normalized into the alignment vector a which is both
 the context weighting and the attention state carried to the next step.
 """
 
+import jax
 import jax.numpy as jnp
 
 
@@ -28,18 +29,22 @@ def attention_step(W_a, v_a, b_UW, b_v, h_prev, prev_a, attended, u,
     from .lstm import mm
     T = attended.shape[1]
     w = mm(h_prev, W_a) + b_UW
-    e = jnp.exp(mm(jnp.tanh(w[:, None, :] + u), v_a) + b_v)[..., 0]
+    # energies; normalized with a numerically stable softmax — identical
+    # alignments to the reference's raw exp/sum (attention.py:539-571)
+    # but immune to exp overflow once v_a grows during training
+    s = (mm(jnp.tanh(w[:, None, :] + u), v_a) + b_v)[..., 0]  # (B, T)
+    keep = jnp.ones_like(s, dtype=bool)
     if mask is not None:
-        e = e * mask
+        keep = keep & mask.astype(bool)
     if window_width and window_width > 0:
-        steps = jnp.arange(T, dtype=e.dtype)
+        steps = jnp.arange(T, dtype=s.dtype)
         t0 = jnp.dot(prev_a, steps, preferred_element_type=jnp.float32) + 1.0
-        visible = jnp.abs(t0[:, None] - steps[None, :]) <= window_width
-        e = e * visible
-    denom = jnp.sum(e, axis=1, keepdims=True)
-    # safe divide: all-masked rows yield a = 0 without inf/NaN gradients
-    # (a tiny epsilon would square to zero in the f32 quotient-rule term)
-    a = e / jnp.where(denom > 0, denom, 1.0)
+        keep = keep & (jnp.abs(t0[:, None] - steps[None, :])
+                       <= window_width)
+    s = jnp.where(keep, s, -1e30)
+    a = jax.nn.softmax(s, axis=1)
+    # all-masked rows (possible in mask_padding mode) get zero alignment
+    a = a * jnp.any(keep, axis=1, keepdims=True)
     ctx = jnp.einsum('bt,bta->ba', a, attended,
                      preferred_element_type=jnp.float32)
     return ctx, a
