@@ -437,7 +437,44 @@ class Sequence2Sequence:
                              kind, w.mean, math.sqrt(w.varia))
         return result
 
-    # training is provided by models/train.py (Trainer.train) and bound
+    # ------------------------------------------------------------------
+    # reference-surface convenience wrappers (lib/seq2seq.py names)
+
+    def vectorize_lines(self, source_lines, target_lines, conf=None):
+        """Reference-compatible vectorization (seq2seq.py:1020-1119)."""
+        return vectorize_lines(self.mapping, source_lines, target_lines,
+                               confs=conf, logger=self.logger)
+
+    def gen_lines(self, filenames, repeat=False, split=None, train=False,
+                  unsupervised=False, charmap=None):
+        """Reference-compatible line batch generator (seq2seq.py:919)."""
+        def is_bad(src, tgt):
+            self.aligner.set_seqs(src, tgt)
+            return self.aligner.is_bad()
+        return gen_line_batches(
+            filenames, self.batch_size, repeat=repeat, split=split,
+            train=train, unsupervised=unsupervised, charmap=charmap,
+            is_bad=is_bad if train else None)
+
+    def decode_batch_greedy(self, encoder_input_data):
+        """Reference-compatible greedy batch decode over raw input arrays
+        (seq2seq.py:1215-1286). Returns (texts, probs, scores, alignments)."""
+        newline = self.mapping.get('\n')
+        idx, prob, length, score, aligns = decode_greedy(
+            self._infer_params(), self.config,
+            np.asarray(encoder_input_data, np.float32), newline,
+            return_alignments=True)
+        idx = np.asarray(idx)
+        length = np.asarray(length)
+        texts = [''.join(self.mapping.i2c[int(i)] for i in idx[j, :length[j]])
+                 for j in range(idx.shape[0])]
+        probs = [np.asarray(prob)[j, :length[j]].tolist()
+                 for j in range(idx.shape[0])]
+        aligns = [np.asarray(aligns)[j, :length[j]]
+                  for j in range(idx.shape[0])]
+        return texts, probs, np.asarray(score).tolist(), aligns
+
+    # training is provided by models/train.py (train_model) and bound
     # here lazily to keep JAX-optimizer imports off the inference path
     def train(self, filenames, val_filenames=None, checkpoint_dir='.'):
         from .train import train_model
