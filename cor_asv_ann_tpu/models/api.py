@@ -207,13 +207,18 @@ class Sequence2Sequence:
             rejection_threshold=float(self.rejection_threshold),
             lm_predict=bool(self.lm_predict))
 
-    def correct_lines(self, lines, conf=None, fast=True, greedy=True):
+    def correct_lines(self, lines, conf=None, fast=True, greedy=True,
+                      return_alignments=True):
         """Correct text strings (reference seq2seq.py:782-842).
 
         Returns (output_lines, probability lists, perplexity scores,
         alignments). Both decoders run fully on device; `fast` and
         `greedy` both map to greedy decoding (their split in the
         reference was a host-scheduling artifact), otherwise beam.
+        With `return_alignments=False` the (B, S, T) soft-alignment
+        buffers are neither materialized nor transferred (the hot path
+        for proc/eval, which discard them); the alignments slot is then
+        a list of empty lists.
         """
         assert not fast or greedy, \
             'cannot decode in fast mode with beam search enabled'
@@ -232,12 +237,13 @@ class Sequence2Sequence:
                 inv[j] = pos
             sorted_lines = [lines[j] for j in order]
             sorted_conf = [conf[j] for j in order] if conf else None
-            res = self._correct_chunks(sorted_lines, sorted_conf, greedy)
+            res = self._correct_chunks(sorted_lines, sorted_conf, greedy,
+                                       return_alignments)
             return tuple([r[inv[j]] for j in range(len(lines))]
                          for r in res)
-        return self._correct_chunks(lines, conf, greedy)
+        return self._correct_chunks(lines, conf, greedy, return_alignments)
 
-    def _correct_chunks(self, lines, conf, greedy):
+    def _correct_chunks(self, lines, conf, greedy, return_alignments=True):
         B = self.batch_size
         out_lines, out_probs, out_scores, out_aligns = [], [], [], []
         for i in range(0, len(lines), B):
@@ -254,7 +260,8 @@ class Sequence2Sequence:
                 chunk = chunk + [''] * (bucket - n)
                 if chunk_conf:
                     chunk_conf = chunk_conf + [[]] * (bucket - n)
-            res = self._correct_batch(chunk, chunk_conf, greedy)
+            res = self._correct_batch(chunk, chunk_conf, greedy,
+                                      return_alignments)
             for j in range(n):
                 out_lines.append(res[0][j])
                 out_probs.append(res[1][j])
@@ -279,7 +286,8 @@ class Sequence2Sequence:
             cached = self._bf16_params
         return cached[1]
 
-    def _correct_batch(self, lines, conf, greedy):
+    def _correct_batch(self, lines, conf, greedy,
+                       return_alignments=True):
         enc, _, _, _ = vectorize_lines(
             self.mapping, lines, ['' for _ in lines], confs=conf,
             logger=self.logger)
@@ -289,12 +297,13 @@ class Sequence2Sequence:
         if greedy:
             idx, prob, length, score, aligns = decode_greedy(
                 params, self.config, enc, newline,
-                return_alignments=True)
+                return_alignments=return_alignments)
             idx = np.asarray(idx)
             prob = np.asarray(prob)
             length = np.asarray(length)
             score = np.asarray(score)
-            aligns = np.asarray(aligns)
+            if return_alignments:
+                aligns = np.asarray(aligns)
             out_lines, out_probs, out_scores, out_aligns = [], [], [], []
             for j in range(len(lines)):
                 L = int(length[j])
@@ -303,7 +312,8 @@ class Sequence2Sequence:
                 out_lines.append(text.replace(GAP, ''))
                 out_probs.append(prob[j, :L].tolist())
                 out_scores.append(float(score[j]))
-                out_aligns.append(aligns[j, :L].tolist())
+                out_aligns.append(aligns[j, :L].tolist()
+                                  if return_alignments else [])
             return out_lines, out_probs, out_scores, out_aligns
         # beam
         src_len = np.array(
@@ -351,9 +361,15 @@ class Sequence2Sequence:
 
     @staticmethod
     def _echo_line(input_line):
-        if isinstance(input_line, (list, tuple)) and input_line and \
-                isinstance(input_line[0], tuple):
-            return ''.join(chunk[0] for chunk in input_line)
+        """Echo an input line as text (beam-failure fallback,
+        reference seq2seq.py:826-836). Handles plain strings, per-char
+        (char, prob) tuple lists and confmat chunk lists."""
+        if isinstance(input_line, (list, tuple)) and input_line:
+            if isinstance(input_line[0], tuple):      # prob line
+                return ''.join(chunk[0] for chunk in input_line)
+            if isinstance(input_line[0], list):       # confmat
+                return ''.join(chunk[0][0] if chunk else ''
+                               for chunk in input_line)
         return input_line
 
     def predict(self, filenames, fast=False, greedy=False, charmap=None):
@@ -365,7 +381,8 @@ class Sequence2Sequence:
                                       charmap=charmap):
             lines_source, lines_conf, _, lines_filename = batch
             lines_result, _, scores_result, _ = self.correct_lines(
-                lines_source, lines_conf, fast=fast, greedy=greedy)
+                lines_source, lines_conf, fast=fast, greedy=greedy,
+                return_alignments=False)
             yield (lines_filename, lines_result, scores_result)
 
     def evaluate(self, filenames, fast=False, normalization='historic_latin',
@@ -383,12 +400,14 @@ class Sequence2Sequence:
                                       repeat=False, charmap=charmap):
             sources, confs, targets, _ = batch
             greedy_lines, _, greedy_scores, _ = self.correct_lines(
-                sources, confs, fast=fast, greedy=True)
+                sources, confs, fast=fast, greedy=True,
+                return_alignments=False)
             if fast:
                 beamed_lines, beamed_scores = greedy_lines, greedy_scores
             else:
                 beamed_lines, _, beamed_scores, _ = self.correct_lines(
-                    sources, confs, fast=False, greedy=False)
+                    sources, confs, fast=False, greedy=False,
+                    return_alignments=False)
             for j, (src, tgt) in enumerate(zip(sources, targets)):
                 if not src or not tgt:
                     continue

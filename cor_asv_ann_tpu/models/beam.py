@@ -277,22 +277,29 @@ def decode_beam(params, config: Seq2SeqConfig, bp: BeamParams, enc_input,
                               bp.rejection_threshold, probs)
 
         # --- candidate admission --------------------------------------
+        # top-C by (boosted) probability plus one dedicated slot for the
+        # rejection candidate: the reference admits it *in addition* to
+        # every threshold-admitted candidate, scanning past the cutoff
+        # until it is found (seq2seq.py:1480-1501)
         cand_base = probs_adj.at[:, :, 0].set(-INF)  # exclude underspec
         cand_p, cand_idx = jax.lax.top_k(cand_base, C)   # (B, K, C)
         valid = cand_p >= cand_p[..., :1] * bp.beam_threshold_in
-        in_top = jnp.any(cand_idx == rej_idx[..., None], axis=-1)
-        force = rej_ok & ~in_top
-        last = C - 1
-        cand_idx = cand_idx.at[..., last].set(
-            jnp.where(force, rej_idx, cand_idx[..., last]))
-        cand_p = cand_p.at[..., last].set(
-            jnp.where(force, jnp.maximum(rej_p, bp.rejection_threshold),
-                      cand_p[..., last]))
+        in_top = jnp.any((cand_idx == rej_idx[..., None]) & valid,
+                         axis=-1)
+        rej_slot_ok = rej_ok & ~in_top
+        cand_idx = jnp.concatenate(
+            [cand_idx, rej_idx[..., None]], axis=-1)     # (B, K, C+1)
+        cand_p = jnp.concatenate(
+            [cand_p, jnp.maximum(rej_p, bp.rejection_threshold)[..., None]],
+            axis=-1)
+        valid = jnp.concatenate(
+            [valid, rej_slot_ok[..., None]], axis=-1)
+        # admitted rejection candidates inside the top-C also bypass the
+        # relative threshold
         is_rej = rej_ok[..., None] & (cand_idx == rej_idx[..., None])
-        # the rejection candidate is admitted regardless of the relative
-        # threshold (the reference keeps scanning past the cutoff until
-        # it is found, seq2seq.py:1497-1501)
-        valid = valid.at[..., last].set(force | valid[..., last]) | is_rej
+        valid = valid | is_rej
+        # avoid enqueueing the rejection twice (top-C copy wins)
+        valid = valid.at[..., C].set(valid[..., C] & ~in_top)
 
         if bp.lm_predict:
             # LM probability rates the hypothesis globally; decoder
@@ -321,18 +328,19 @@ def decode_beam(params, config: Seq2SeqConfig, bp: BeamParams, enc_input,
         res_pro = s['pro'].at[jnp.arange(B)[:, None], exp_ix].set(
             jnp.where(exp_ok, INF,
                       jnp.take_along_axis(s['pro'], exp_ix, axis=1)))
+        CC = C + 1
         all_pro = jnp.concatenate(
-            [res_pro, c_pro_res.reshape(B, K * C)], axis=1)   # (B, R+KC)
+            [res_pro, c_pro_res.reshape(B, K * CC)], axis=1)  # (B, R+K*CC)
         neg2, sel = jax.lax.top_k(-all_pro, R)
         new_pro = -neg2
         is_old = sel < R
         old_ix = jnp.minimum(sel, R - 1)
         j = jnp.maximum(sel - R, 0)
-        par_k = j // C
-        rank = j % C
+        par_k = j // CC
+        rank = j % CC
 
-        cand_of = lambda x: jnp.take_along_axis(      # (B,K,C)->(B,R)
-            x.reshape(B, K * C), j, axis=1)
+        cand_of = lambda x: jnp.take_along_axis(      # (B,K,CC)->(B,R)
+            x.reshape(B, K * CC), j, axis=1)
         new_cum = jnp.where(is_old,
                             jnp.take_along_axis(s['cum'], old_ix, axis=1),
                             cand_of(c_cum))
@@ -384,12 +392,16 @@ def decode_beam(params, config: Seq2SeqConfig, bp: BeamParams, enc_input,
         # feedback for new nodes: parent boosted probs with better-ranked
         # candidate maxima zeroed (seq2seq.py:1515-1520)
         par_probs = ta(probs_adj, par_k)              # (B, R, V)
-        par_cidx = ta(cand_idx, par_k)                # (B, R, C)
+        par_cidx = ta(cand_idx, par_k)                # (B, R, CC)
+        par_valid = ta(valid, par_k)                  # (B, R, CC)
         zero_mask = jnp.zeros((B, R, V), bool)
-        for c in range(C):
+        for c in range(C + 1):
+            # zero only previously *admitted* maxima (the reference zeroes
+            # the candidates it actually enqueued, seq2seq.py:1515-1520)
             oh = jax.nn.one_hot(par_cidx[..., c], V,
                                 dtype=jnp.float32) > 0
-            zero_mask = zero_mask | (oh & (c < rank)[..., None])
+            zero_mask = zero_mask | (
+                oh & ((c < rank) & par_valid[..., c])[..., None])
         cand_feedback = jnp.where(zero_mask, 0.0, par_probs)
         new_feedback = jnp.where(is_old[..., None],
                                  ta(s['feedback'], old_ix),
@@ -397,14 +409,14 @@ def decode_beam(params, config: Seq2SeqConfig, bp: BeamParams, enc_input,
 
         # --- route finished candidates into the bank ------------------
         all_fin = jnp.concatenate(
-            [s['bank_cost'], c_pro_fin.reshape(B, K * C)], axis=1)
+            [s['bank_cost'], c_pro_fin.reshape(B, K * CC)], axis=1)
         neg3, bsel = jax.lax.top_k(-all_fin, F)
         nb_cost = -neg3
         b_old = bsel < F
         b_oix = jnp.minimum(bsel, F - 1)
         bj = jnp.maximum(bsel - F, 0)
-        b_par = bj // C
-        bcand = lambda x: jnp.take_along_axis(x.reshape(B, K * C), bj,
+        b_par = bj // CC
+        bcand = lambda x: jnp.take_along_axis(x.reshape(B, K * CC), bj,
                                               axis=1)
 
         def bmerge(old, new_k, write_val):

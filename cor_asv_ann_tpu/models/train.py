@@ -237,16 +237,17 @@ def train_model(s2s, filenames, val_filenames=None, checkpoint_dir='.'):
                     yield _degrade_encoder(enc), dec_in, dec_out, w
 
             from ..utils.prefetch import prefetch
-            for enc, dec_in, dec_out, w in prefetch(batch_iter()):
-                rng, sub = jax.random.split(rng)
-                params, opt_state, loss = train_step(
-                    params, opt_state, config, enc, dec_in, dec_out, w,
-                    sub, frozen_mask=fmask, lm_loss=s2s.lm_loss,
-                    optimizer=optimizer)
-                params_ref[0] = params
-                losses.append(float(loss))
-                if stop.stopping:
-                    break
+            with prefetch(batch_iter()) as feed:
+                for enc, dec_in, dec_out, w in feed:
+                    rng, sub = jax.random.split(rng)
+                    params, opt_state, loss = train_step(
+                        params, opt_state, config, enc, dec_in, dec_out,
+                        w, sub, frozen_mask=fmask, lm_loss=s2s.lm_loss,
+                        optimizer=optimizer)
+                    params_ref[0] = params
+                    losses.append(float(loss))
+                    if stop.stopping:
+                        break
             if not losses:
                 logger.critical('training failed: no data')
                 s2s.status = 1

@@ -182,15 +182,21 @@ def _iter_file_lines(filename, unsupervised=False, charmap=None):
 
 def scan_files(filenames, charmap=None):
     """Collect the character inventory and line count over all files
-    (reference map_files, lib/seq2seq.py:555-588)."""
+    (reference map_files, lib/seq2seq.py:555-588). For confmat sources,
+    every alternative of every chunk contributes characters (the decoded
+    top line alone would miss alternatives-only characters)."""
     chars = set()
     num_lines = 0
     if charmap:
         charmap = str.maketrans(charmap)
     for filename in filenames:
-        for src, _conf, tgt in _iter_file_lines(filename, charmap=charmap):
+        for src, conf, tgt in _iter_file_lines(filename, charmap=charmap):
             chars.update(src)
             chars.update(tgt)
+            if conf and isinstance(conf[0], list):  # confmat
+                for chunk in conf:
+                    for alt, _prob in chunk:
+                        chars.update(alt)
             num_lines += 1
     chars.discard(GAP)
     return chars, num_lines

@@ -14,16 +14,23 @@ _SENTINEL = object()
 
 
 class Prefetcher:
-    """Wrap an iterator; a daemon thread keeps up to `depth` items ready."""
+    """Wrap an iterator; a daemon thread keeps up to `depth` items ready.
+
+    Call `close()` (or use as a context manager) when abandoning the
+    iterator early — otherwise the worker stays blocked on the bounded
+    queue, pinning the generator and anything it holds open."""
 
     def __init__(self, iterator, depth=2):
         self._queue = queue.Queue(maxsize=depth)
         self._err = None
+        self._closed = False
 
         def worker():
             try:
                 for item in iterator:
                     self._queue.put(item)
+                    if self._closed:
+                        return
             except BaseException as err:  # propagate into the consumer
                 self._err = err
             finally:
@@ -38,10 +45,30 @@ class Prefetcher:
     def __next__(self):
         item = self._queue.get()
         if item is _SENTINEL:
+            self._done = True
             if self._err is not None:
                 raise self._err
             raise StopIteration
         return item
+
+    def close(self):
+        """Release the worker thread after an early consumer exit."""
+        if getattr(self, '_done', False):
+            return  # iteration already finished; sentinel consumed
+        self._closed = True
+        while True:  # drain until the worker posts the sentinel
+            item = self._queue.get()
+            if item is _SENTINEL:
+                break
+        self._done = True
+        self._thread.join(timeout=5)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
 
 
 def prefetch(iterator, depth=2):

@@ -24,9 +24,8 @@ Re-derivation of the reference ANNCorrection processor
 import numpy as np
 
 from ..utils import page as P
+from ..utils.data import GAP
 from .base import PageProcessor, processor_cli
-
-GAP = '\a'
 
 
 def resolve_resource(name):

@@ -117,3 +117,47 @@ def test_prefetcher():
     assert next(it) == 1
     with pytest.raises(RuntimeError):
         list(it)
+
+
+def test_prefetcher_early_close():
+    """Abandoning the iterator mid-stream releases the worker thread."""
+    import threading
+    from cor_asv_ann_tpu.utils.prefetch import prefetch
+    opened = []
+
+    def gen():
+        opened.append(True)
+        for i in range(1000):
+            yield i
+
+    before = threading.active_count()
+    with prefetch(gen(), depth=2) as it:
+        assert next(it) == 0
+    # worker must have exited
+    import time
+    for _ in range(50):
+        if threading.active_count() <= before:
+            break
+        time.sleep(0.05)
+    assert threading.active_count() <= before
+
+
+def test_echo_line_formats():
+    from cor_asv_ann_tpu.models.api import Sequence2Sequence
+    echo = Sequence2Sequence._echo_line
+    assert echo('abc\n') == 'abc\n'
+    assert echo([('a', 0.9), ('b', 0.8)]) == 'ab'
+    assert echo([[('ab', 0.6), ('c', 0.4)], [('\n', 1.0)]]) == 'ab\n'
+    assert echo([[], [('x', 1.0)]]) == 'x'
+
+
+def test_scan_files_confmat_alternatives(tmp_path):
+    """Characters occurring only in non-top confmat alternatives must
+    enter the charset (reference map_files, seq2seq.py:570-573)."""
+    import pickle
+    from cor_asv_ann_tpu.utils.data import scan_files
+    data = [([[('o', 0.6), ('ö', 0.4)], [('\n', 1.0)]], 'o\n')]
+    f = tmp_path / 'cm.pkl'
+    f.write_bytes(pickle.dumps(data))
+    chars, n = scan_files([str(f)])
+    assert 'ö' in chars and n == 1
