@@ -96,11 +96,30 @@ def loss_fn(params, config, enc, dec_in, dec_out, weights, rng,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=('config', 'lm_loss', 'optimizer'))
+                   static_argnames=('config', 'lm_loss', 'optimizer',
+                                    'compute_dtype'))
 def train_step(params, opt_state, config, enc, dec_in, dec_out, weights,
-               rng, frozen_mask=None, lm_loss=False, optimizer=None):
-    loss, grads = jax.value_and_grad(loss_fn)(
-        params, config, enc, dec_in, dec_out, weights, rng, lm_loss)
+               rng, frozen_mask=None, lm_loss=False, optimizer=None,
+               compute_dtype=None):
+    """One optimizer step. With compute_dtype='bfloat16' the forward and
+    backward matmuls run in bf16 (float32 masters and accumulation —
+    standard mixed precision; ~2x MXU throughput)."""
+    if compute_dtype == 'bfloat16':
+        def cast(t):
+            return jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.bfloat16)
+                if a.dtype == jnp.float32 else a, t)
+
+        def lossf(p):
+            return loss_fn(cast(p), config, enc, dec_in, dec_out,
+                           weights, rng, lm_loss)
+    else:
+        def lossf(p):
+            return loss_fn(p, config, enc, dec_in, dec_out, weights,
+                           rng, lm_loss)
+    loss, grads = jax.value_and_grad(lossf)(params)
+    grads = jax.tree_util.tree_map(
+        lambda g: g.astype(jnp.float32), grads)
     if frozen_mask is not None:
         grads = jax.tree_util.tree_map(
             lambda g, m: g * m, grads, frozen_mask)
@@ -243,7 +262,8 @@ def train_model(s2s, filenames, val_filenames=None, checkpoint_dir='.'):
                     params, opt_state, loss = train_step(
                         params, opt_state, config, enc, dec_in, dec_out,
                         w, sub, frozen_mask=fmask, lm_loss=s2s.lm_loss,
-                        optimizer=optimizer)
+                        optimizer=optimizer,
+                        compute_dtype=getattr(s2s, 'train_compute', None))
                     params_ref[0] = params
                     losses.append(float(loss))
                     if stop.stopping:

@@ -104,3 +104,24 @@ def test_lm_predict_beam_runs(setup):
         for f in range(out['count'][j]):
             L = out['length'][j, f]
             assert out['idx'][j, f, L - 1] == nl
+
+
+def test_bf16_train_step_converges(setup):
+    """Mixed-precision training step: finite loss, same trend as f32."""
+    mapping, config, params, (enc, dec_in, dec_out, w) = setup
+    import copy
+    opt = T.make_optimizer(1e-2)
+    results = {}
+    for dtype in (None, 'bfloat16'):
+        p = copy.deepcopy(params)
+        st = opt.init(p)
+        rng = jax.random.PRNGKey(0)
+        for i in range(30):
+            rng, sub = jax.random.split(rng)
+            p, st, loss = T.train_step(p, st, config, enc, dec_in,
+                                       dec_out, w, sub, lm_loss=False,
+                                       optimizer=opt, compute_dtype=dtype)
+        results[dtype] = float(loss)
+    assert np.isfinite(results['bfloat16'])
+    # both reach a similar loss region
+    assert abs(results[None] - results['bfloat16']) < 0.5, results
