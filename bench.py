@@ -44,7 +44,7 @@ def make_lines(mapping, batch, length, pad):
     return enc
 
 
-def bench_tpu(params, config, mapping, enc, repeats=10):
+def bench_tpu(params, config, mapping, enc, repeats=20):
     """Greedy decode throughput with bfloat16 compute (the production
     inference mode, s2s.compute='bfloat16'; float32 masters, float32
     accumulation — see models/api.py)."""

@@ -21,3 +21,12 @@ Model files remain interoperable with the reference's Keras HDF5 layout
 __version__ = "0.1.0"
 
 GAP = '\a'  # reserved character that never gets mapped (gap repairs)
+
+
+def __getattr__(name):
+    # lazy re-export of the high-level API (keeps `import cor_asv_ann_tpu`
+    # light for CLI --help paths; jax loads only on first use)
+    if name == 'Sequence2Sequence':
+        from .models.api import Sequence2Sequence
+        return Sequence2Sequence
+    raise AttributeError(name)
