@@ -35,6 +35,11 @@ def cli():
     def transcode_line(source_line, plot=True):
         """Correct one line greedily and beamed; show probabilities and
         alignments."""
+        if s2s.status < 2:
+            print('no model loaded yet — run:\n'
+                  '>>> s2s.load_config("model.h5"); s2s.configure(); '
+                  's2s.load_weights("model.h5")')
+            return None, None
         if not source_line.endswith('\n'):
             source_line += '\n'
         greedy_lines, greedy_probs, greedy_scores, greedy_aligns = \

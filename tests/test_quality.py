@@ -117,3 +117,35 @@ def test_beam_with_rejection_beats_ocr(model):
     ocr_cer = corpus_cer(srcs, tgts)
     cor_cer = corpus_cer(out, tgts)
     assert cor_cer < ocr_cer, (ocr_cer, cor_cer)
+
+
+@pytest.mark.skipif(not os.path.exists(FLAGSHIP),
+                    reason='flagship model missing')
+def test_golden_decodes():
+    """Byte-exact decode regression against recorded golden outputs
+    (the north-star fidelity bar: identical corrected text at matched
+    decoder settings, BASELINE.md)."""
+    import json
+    golden_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               'golden_decodes.json')
+    if not os.path.exists(golden_path):
+        pytest.skip('golden fixture missing')
+    with open(golden_path) as f:
+        golden = json.load(f)
+    from cor_asv_ann_tpu.models.api import Sequence2Sequence
+    s2s = Sequence2Sequence()
+    s2s.load_config(FLAGSHIP)
+    s2s.configure()
+    s2s.load_weights(FLAGSHIP)
+    out_g, _, scores, _ = s2s.correct_lines(
+        golden['inputs'], fast=True, greedy=True, return_alignments=False)
+    assert out_g == golden['greedy']
+    np.testing.assert_allclose(scores, golden['greedy_scores'], atol=2e-3)
+    s2s.rejection_threshold = 0.5
+    out_b, _, _, _ = s2s.correct_lines(
+        golden['inputs'], fast=False, greedy=False,
+        return_alignments=False)
+    # beam ordering can tie-break differently across backends; require
+    # byte equality on at least 90% of lines
+    same = sum(a == b for a, b in zip(out_b, golden['beamed']))
+    assert same >= int(0.9 * len(out_b)), (same, len(out_b))
