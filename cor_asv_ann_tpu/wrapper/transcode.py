@@ -470,11 +470,27 @@ def _word_of(textequiv, level):
 
 def _resegment_sequence(sequence, level, logger=None):
     """Merge Words around deleted whitespace; split at introduced
-    whitespace (reference transcode.py:488-548)."""
+    whitespace (reference transcode.py:488-548).
+
+    Successive operations may touch the same Word (e.g. a merge at one
+    whitespace followed by a split inside the merged word, or two merges
+    sharing a word): a replacement map resolves stale references to the
+    word that currently holds the content. (The reference silently loses
+    the later edit in these corners, transcode.py:527-548.)"""
     import logging
     logger = logger or logging.getLogger(__name__)
+    replaced = {}
+
+    def resolve(word):
+        while word is not None and id(word.elem) in replaced:
+            word = replaced[id(word.elem)]
+        return word
+
+    def in_line(textline, word):
+        return any(e is word.elem for e in textline.elem)
+
     for i, textequiv in enumerate(sequence):
-        word = _word_of(textequiv, level)
+        word = resolve(_word_of(textequiv, level))
         if word is None or word.tag != 'Word':
             continue
         textline = word.parent
@@ -485,19 +501,35 @@ def _resegment_sequence(sequence, level, logger=None):
                     logger.error('cannot merge Words at the %s of line "%s"',
                                  'end' if i else 'start', textline.id)
                     continue
-                prev_word = _word_of(sequence[i - 1], level)
-                next_word = _word_of(sequence[i + 1], level)
+                prev_word = resolve(_word_of(sequence[i - 1], level))
+                next_word = resolve(_word_of(sequence[i + 1], level))
                 if prev_word is None or next_word is None or \
                         prev_word.elem is next_word.elem:
                     continue
-                _merge_words(textline, prev_word, next_word, logger)
+                if not (in_line(textline, prev_word)
+                        and in_line(textline, next_word)):
+                    logger.warning('skipping merge of displaced words '
+                                   'in line "%s"', textline.id)
+                    continue
+                merged = _merge_words(textline, prev_word, next_word,
+                                      logger)
+                replaced[id(prev_word.elem)] = merged
+                replaced[id(next_word.elem)] = merged
         elif ' ' in textequiv.unicode:
             # whitespace introduced: split word
+            if not in_line(textline, word):
+                logger.warning('skipping split of displaced word '
+                               'in line "%s"', textline.id)
+                continue
             if level == 'glyph':
                 glyph = textequiv.parent
-                _split_word_at_glyph(textline, word, glyph)
+                right = _split_word_at_glyph(textline, word, glyph)
             else:
-                _split_word_at_spaces(textline, word)
+                right = _split_word_at_spaces(textline, word)
+            if right is not None:
+                # later references (e.g. a following whitespace merge)
+                # concern the rightmost fragment
+                replaced[id(word.elem)] = right
 
 
 def _union_points(a, b):
@@ -535,6 +567,7 @@ def _merge_words(textline, prev_word, next_word, logger):
     textline.remove_child(next_word)
     logger.debug('merged %s and %s to %s in line %s', prev_word.id,
                  next_word.id, merged.id, textline.id)
+    return merged
 
 
 def _split_box(word_pts, fract):
@@ -546,13 +579,14 @@ def _split_box(word_pts, fract):
 
 
 def _split_word_at_glyph(textline, word, glyph):
-    """Split `word` at `glyph` (removed), distributing glyphs."""
+    """Split `word` at `glyph` (removed), distributing glyphs.
+    Returns the right part (or None when the glyph is missing)."""
     glyphs = word.get_glyphs()
     try:
         pos = next(i for i, g in enumerate(glyphs)
                    if g.elem is glyph.elem)
     except StopIteration:
-        return
+        return None
     gp = glyph.get_points()
     wp = word.get_points()
     if gp and wp:
@@ -578,6 +612,7 @@ def _split_word_at_glyph(textline, word, glyph):
     textline.insert_child(idx, next_.elem)
     textline.insert_child(idx, prev_.elem)
     textline.remove_child(word)
+    return next_
 
 
 def _split_word_at_spaces(textline, word):
@@ -588,7 +623,7 @@ def _split_word_at_spaces(textline, word):
     conf = te[0].conf if te and te[0].conf is not None else 1.0
     parts = text.split(' ')
     if len(parts) < 2:
-        return
+        return None
     idx = textline.index_of(word)
     wp = word.get_points()
     total = max(len(text), 1)
@@ -610,6 +645,7 @@ def _split_word_at_spaces(textline, word):
     for w in reversed(new_words):
         textline.insert_child(idx, w.elem)
     textline.remove_child(word)
+    return new_words[-1]
 
 
 def _first_unicode(element):
