@@ -90,3 +90,66 @@ def test_fuzz_update_and_resegment(seed):
         joined = ' '.join(w.get_text() or '' for w in words)
         assert joined == line.get_text(), \
             (trial, input_text, output, joined, line.get_text())
+
+
+def random_glyph_doc(rng):
+    doc = P.new_page()
+    region = P.add_region(doc, 'r1')
+    line = P.add_line(region, 'l1', points=[(0, 0), (400, 18)])
+    x = 0
+    for j in range(rng.integers(1, 4)):
+        n = rng.integers(1, 5)
+        wtext = ''.join(rng.choice(list('abcd'), n))
+        w = P.add_word(line, f'w{j}', points=[(x, 0), (x + 10 * n, 18)])
+        for gi, ch in enumerate(wtext):
+            g = P.add_glyph(w, f'w{j}_g{gi}',
+                            points=[(x + gi * 10, 0),
+                                    (x + gi * 10 + 9, 18)])
+            g.add_textequiv(ch, conf=0.9)
+        w.add_textequiv(wtext, conf=0.9)
+        x += 10 * n + 5
+    line.add_textequiv(
+        ' '.join(w.get_text() for w in line.get_words()), conf=0.9)
+    return doc
+
+
+@pytest.mark.parametrize('seed', range(4))
+def test_fuzz_glyph_level(seed):
+    rng = np.random.default_rng(100 + seed)
+    for trial in range(30):
+        doc = random_glyph_doc(rng)
+        seqs = TC._page_get_line_sequences_at('glyph', doc)
+        input_lines, starts = TC._line_sequences2confmat_sequences({}, seqs)
+        input_text = ''.join(c[0][0] for c in input_lines[0])
+        output = random_edit(rng, input_text)
+        realignment, _ = TC._alignment_path(input_text, output)
+        probs = [0.9] * len(output)
+        line, seq = TC._update_sequence(
+            input_lines[0], output, probs, 0.1, realignment, starts[0],
+            None)
+        TC._resegment_sequence(seq, 'glyph')
+        TC.page_update_higher_textequiv_levels('glyph', doc)
+        line = doc.get_lines()[0]
+        words = line.get_words()
+        joined = ' '.join(w.get_text() or '' for w in words)
+        assert joined == line.get_text(), \
+            (trial, input_text, output, joined, line.get_text())
+
+
+@pytest.mark.parametrize('seed', range(4))
+def test_fuzz_viterbi_path(seed):
+    """Viterbi over random soft alignments: path is a monotone surjection
+    onto the endpoints."""
+    rng = np.random.default_rng(200 + seed)
+    for trial in range(30):
+        i_max = int(rng.integers(2, 30))
+        j_max = int(rng.integers(2, 30))
+        soft = rng.uniform(0, 1, (j_max, i_max)).astype(np.float32)
+        soft /= soft.sum(axis=1, keepdims=True)
+        path, dist = TC._alignment2path(list(soft), i_max, j_max, 0.01)
+        assert path[0] == 0 and path[i_max] == j_max
+        keys = sorted(k for k in path if 0 <= k <= i_max)
+        vals = [path[k] for k in keys]
+        assert all(b >= a for a, b in zip(vals, vals[1:])), \
+            (trial, path)
+        assert all(0 <= v <= j_max for v in vals)
