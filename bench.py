@@ -83,6 +83,18 @@ def bench_baseline(params, config, mapping, enc, sample=4, max_steps=24):
 
 
 def main():
+    # watchdog: the tunnel to the TPU occasionally wedges (every device
+    # op blocks forever); better to die loudly than hang the driver
+    import signal
+
+    def _timeout(signum, frame):
+        raise TimeoutError('TPU appears wedged (no progress in 600s)')
+
+    try:
+        signal.signal(signal.SIGALRM, _timeout)
+        signal.alarm(600)
+    except (ValueError, AttributeError):  # non-main thread / platform
+        pass
     config, mapping, params = build()
     # batch 1024 saturates the chip (per-step overhead amortizes across
     # lines; the reference's default batch of 256 reaches ~7.5k lines/s,
