@@ -83,18 +83,23 @@ def bench_baseline(params, config, mapping, enc, sample=4, max_steps=24):
 
 
 def main():
-    # watchdog: the tunnel to the TPU occasionally wedges (every device
-    # op blocks forever); better to die loudly than hang the driver
-    import signal
+    # watchdog: the tunnel to the TPU occasionally wedges, blocking the
+    # main thread inside a C++ device call where Python signal handlers
+    # cannot run — a watchdog *thread* with os._exit is the only reliable
+    # way to die loudly instead of hanging the driver. 900s covers a
+    # slow-day build+compile+20 repeats comfortably (typical run <60s).
+    import os
+    import threading
 
-    def _timeout(signum, frame):
-        raise TimeoutError('TPU appears wedged (no progress in 600s)')
+    def _die():
+        sys.stderr.write('bench.py: watchdog expired after 900s — '
+                         'TPU tunnel appears wedged\n')
+        sys.stderr.flush()
+        os._exit(3)
 
-    try:
-        signal.signal(signal.SIGALRM, _timeout)
-        signal.alarm(600)
-    except (ValueError, AttributeError):  # non-main thread / platform
-        pass
+    watchdog = threading.Timer(900, _die)
+    watchdog.daemon = True
+    watchdog.start()
     config, mapping, params = build()
     # batch 1024 saturates the chip (per-step overhead amortizes across
     # lines; the reference's default batch of 256 reaches ~7.5k lines/s,
@@ -109,6 +114,7 @@ def main():
         'unit': 'lines/sec/chip',
         'vs_baseline': round(lines_per_sec / baseline, 2),
     }))
+    watchdog.cancel()
 
 
 if __name__ == '__main__':

@@ -55,6 +55,9 @@ class Sequence2Sequence:
         # 'bfloat16' (MXU-native, ~2x matmul throughput, tiny CER impact;
         # master weights stay float32)
         self.compute = 'float32'
+        # training compute dtype: None/'float32' or 'bfloat16' (mixed
+        # precision: bf16 forward/backward, float32 masters)
+        self.train_compute = None
         # beam decoder parameters
         self.rejection_threshold = 0.3
         self.beam_width_in = 15

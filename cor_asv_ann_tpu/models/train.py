@@ -212,6 +212,14 @@ def train_model(s2s, filenames, val_filenames=None, checkpoint_dir='.'):
 
     config = s2s.config
     params = s2s.params
+    train_compute = getattr(s2s, 'train_compute', None)
+    if train_compute in ('bf16', 'bfloat16'):
+        train_compute = 'bfloat16'
+    elif train_compute in (None, 'float32', 'f32'):
+        train_compute = None
+    else:
+        raise ValueError('unknown train_compute %r (use float32 or '
+                         'bfloat16)' % (train_compute,))
     optimizer = make_optimizer(getattr(s2s, 'learning_rate', 1e-3))
     opt_state = optimizer.init(params)
     frozen = getattr(s2s, 'frozen_layers', None)
@@ -262,8 +270,7 @@ def train_model(s2s, filenames, val_filenames=None, checkpoint_dir='.'):
                     params, opt_state, loss = train_step(
                         params, opt_state, config, enc, dec_in, dec_out,
                         w, sub, frozen_mask=fmask, lm_loss=s2s.lm_loss,
-                        optimizer=optimizer,
-                        compute_dtype=getattr(s2s, 'train_compute', None))
+                        optimizer=optimizer, compute_dtype=train_compute)
                     params_ref[0] = params
                     losses.append(float(loss))
                     if stop.stopping:

@@ -87,17 +87,23 @@ def test_greedy_beats_ocr(model):
     assert cor_cer < ocr_cer * 0.6, (ocr_cer, cor_cer)
 
 
-@pytest.mark.skipif(not os.path.exists(FLAGSHIP),
-                    reason='flagship model missing')
-def test_flagship_near_perfect():
-    """The bundled d2/w512 model (trained in-repo with LM multi-task loss
-    and scheduled sampling — BASELINE config 4) corrects the held-out set
-    almost perfectly (measured greedy CER 0.0008 vs OCR 0.068)."""
+@pytest.fixture(scope='module')
+def flagship():
+    if not os.path.exists(FLAGSHIP):
+        pytest.skip('flagship model missing')
     from cor_asv_ann_tpu.models.api import Sequence2Sequence
     s2s = Sequence2Sequence()
     s2s.load_config(FLAGSHIP)
     s2s.configure()
     s2s.load_weights(FLAGSHIP)
+    return s2s
+
+
+def test_flagship_near_perfect(flagship):
+    """The bundled d2/w512 model (trained in-repo with LM multi-task loss
+    and scheduled sampling — BASELINE config 4) corrects the held-out set
+    almost perfectly (measured greedy CER 0.0008 vs OCR 0.068)."""
+    s2s = flagship
     pairs = make_test_pairs(48)
     srcs = [a + '\n' for a, _ in pairs]
     tgts = [b + '\n' for _, b in pairs]
@@ -119,9 +125,7 @@ def test_beam_with_rejection_beats_ocr(model):
     assert cor_cer < ocr_cer, (ocr_cer, cor_cer)
 
 
-@pytest.mark.skipif(not os.path.exists(FLAGSHIP),
-                    reason='flagship model missing')
-def test_golden_decodes():
+def test_golden_decodes(flagship):
     """Byte-exact decode regression against recorded golden outputs
     (the north-star fidelity bar: identical corrected text at matched
     decoder settings, BASELINE.md)."""
@@ -132,11 +136,8 @@ def test_golden_decodes():
         pytest.skip('golden fixture missing')
     with open(golden_path) as f:
         golden = json.load(f)
-    from cor_asv_ann_tpu.models.api import Sequence2Sequence
-    s2s = Sequence2Sequence()
-    s2s.load_config(FLAGSHIP)
-    s2s.configure()
-    s2s.load_weights(FLAGSHIP)
+    s2s = flagship
+    s2s.rejection_threshold = 0.3
     out_g, _, scores, _ = s2s.correct_lines(
         golden['inputs'], fast=True, greedy=True, return_alignments=False)
     assert out_g == golden['greedy']
