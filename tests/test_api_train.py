@@ -217,3 +217,26 @@ def test_bfloat16_inference(trained):
         s2s.compute = 'float32'
     rates = [cer(a, b) for a, b in zip(bf16, f32)]
     assert np.mean(rates) < 0.15, (f32, bf16)
+
+
+def test_predict_confmat_pkl(trained, tmp_path):
+    """Confusion-network pickle input through the full predict path
+    (reference configs: pkl confmat -> gen_lines -> correct_lines)."""
+    import pickle
+    s2s, _, _ = trained
+    data = [
+        ([[('a', 0.7), ('b', 0.3)], [('b', 0.9)], [('ca', 0.6)],
+          [('\n', 1.0)]], 'abca\n'),
+        ([[('c', 0.8)], [('ab', 0.9), ('a', 0.1)], [('\n', 1.0)]],
+         'cab\n'),
+    ]
+    f = tmp_path / 'confmat.pkl'
+    f.write_bytes(pickle.dumps(data))
+    results = list(s2s.predict([str(f)], fast=True, greedy=True))
+    names, lines, scores = results[0]
+    assert len(lines) >= 2
+    # the model corrects the top path of the confmat to uppercase
+    assert lines[0].strip().isupper() or lines[0] == '\n', lines[0]
+    # beamed decode over the same confmat input also runs
+    results_b = list(s2s.predict([str(f)], fast=False, greedy=False))
+    assert len(results_b[0][1]) >= 2
