@@ -100,3 +100,29 @@ def test_transfer_from_shallower_freezes(tmp_path):
     # donor layer 1 is bidirectional in both configs -> weights transferred
     np.testing.assert_array_equal(params['encoder'][0]['fw']['kernel'],
                                   donor['encoder'][0]['fw']['kernel'])
+
+
+def test_load_relative_weight_names(tmp_path):
+    """Keras 2 stores weight_names relative to the layer group (no outer
+    prefix); the reader must handle that layout too."""
+    import h5py
+    mapping = CharMapping.from_texts(["ab\n"])
+    config = Seq2SeqConfig(width=4, depth=2, voc_size=mapping.voc_size)
+    params = init_params(config, seed=0)
+    path = str(tmp_path / 'model.h5')
+    io_h5.save_model(path, params, config, mapping)
+    # rewrite encoder_lstm_2 with relative names
+    with h5py.File(path, 'r+') as f:
+        g = f['encoder_lstm_2']
+        arrs = {}
+        for name in list(g.attrs['weight_names']):
+            name = name.decode()
+            arrs[name.split('/')[-1]] = np.asarray(g[name])
+            del g[name]
+        g.attrs['weight_names'] = np.array(
+            [k.encode() for k in arrs])
+        for k, v in arrs.items():
+            g.create_dataset(k, data=v)
+    params2 = io_h5.load_weights(path, config)
+    np.testing.assert_array_equal(params2['encoder'][1]['kernel'],
+                                  params['encoder'][1]['kernel'])
