@@ -83,3 +83,28 @@ def test_unmasked_is_pad_dependent():
     h1 = np.asarray(states1[-1][0])
     h2 = np.asarray(states2[-1][0])
     assert np.abs(h1 - h2).max() > 1e-4
+
+
+def test_api_keras_padding_mode():
+    """s2s.keras_padding=True restores the reference's run-through
+    numerics through the high-level API (for imported reference models)."""
+    from cor_asv_ann_tpu.models.api import Sequence2Sequence
+    from cor_asv_ann_tpu.lib import numpy_ref
+    from cor_asv_ann_tpu.utils.data import vectorize_lines
+
+    s2s = Sequence2Sequence()
+    s2s.width, s2s.depth, s2s.batch_size = 16, 2, 8
+    s2s.mapping, _ = s2s.mapping.grow(["abcdefghij .,\n"])
+    s2s.keras_padding = True
+    s2s.configure()
+    assert s2s.config.mask_padding is False
+    s2s.params['char_embedding']['kernel'] = \
+        s2s.params['char_embedding']['kernel'] * 400.0
+    s2s.status = 2
+    lines = ["abba dig.\n", "hi.\n"]
+    # pin the padded length to what the oracle sees
+    enc, _, _, _ = s2s.vectorize_lines(lines, ['' for _ in lines])
+    texts_np, _, _, _ = numpy_ref.decode_batch_greedy(
+        s2s.params, s2s.config.as_dict(), s2s.mapping, enc)
+    out, _, _, _ = s2s.correct_lines(lines, fast=True, greedy=True)
+    assert out == texts_np
