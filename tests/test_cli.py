@@ -161,3 +161,54 @@ def test_scan_files_confmat_alternatives(tmp_path):
     f.write_bytes(pickle.dumps(data))
     chars, n = scan_files([str(f)])
     assert 'ö' in chars and n == 1
+
+
+def test_transfer_dta_lm_cli(tmp_path):
+    import h5py
+    from cor_asv_ann_tpu.scripts.transfer_dta_lm import cli
+    src = tmp_path / 'lm.h5'
+    with h5py.File(str(src), 'w') as f:
+        f.attrs['layer_names'] = np.array([b'lstm_1'])
+        g = f.create_group('lstm_1')
+        g.attrs['weight_names'] = np.array([b'lstm_1/kernel:0'])
+        g.create_dataset('lstm_1/kernel:0',
+                         data=np.ones((20, 16), np.float32))
+    dst = tmp_path / 'init.h5'
+    runner = CliRunner()
+    result = runner.invoke(cli, [str(src), str(dst)])
+    assert result.exit_code == 0, result.output
+    with h5py.File(str(dst)) as f:
+        assert 'decoder_lstm_1' in f
+        k = np.asarray(f['decoder_lstm_1/lstm_1/kernel:0'])
+        assert k.shape == (10, 16)  # 10 context rows sliced
+
+
+def test_profiling_helpers(tmp_path, capsys):
+    from cor_asv_ann_tpu.utils.profiling import maybe_profile, PhaseTimer
+    prof_file = tmp_path / 'out.prof'
+    with maybe_profile(profile_file=str(prof_file)):
+        sum(range(1000))
+    assert prof_file.exists()
+    timer = PhaseTimer()
+    with timer.phase('a'):
+        sum(range(1000))
+    with timer.phase('b'):
+        pass
+    report = timer.report()
+    assert 'a' in report and 'b' in report
+
+
+def test_api_decode_batch_greedy_wrapper():
+    from cor_asv_ann_tpu.models.api import Sequence2Sequence
+    from cor_asv_ann_tpu.models.config import init_params
+    s2s = Sequence2Sequence()
+    s2s.width, s2s.depth, s2s.batch_size = 8, 2, 4
+    s2s.mapping, _ = s2s.mapping.grow(["ab\n"])
+    s2s.configure()
+    s2s.params['char_embedding']['kernel'] = \
+        s2s.params['char_embedding']['kernel'] * 400.0
+    s2s.status = 2
+    enc, _, _, _ = s2s.vectorize_lines(["ab\n"], [""])
+    texts, probs, scores, aligns = s2s.decode_batch_greedy(enc)
+    assert len(texts) == 1 and len(probs[0]) == len(texts[0])
+    assert aligns[0].shape[1] == enc.shape[1]
