@@ -498,7 +498,8 @@ class Sequence2Sequence:
 
     # training is provided by models/train.py (train_model) and bound
     # here lazily to keep JAX-optimizer imports off the inference path
-    def train(self, filenames, val_filenames=None, checkpoint_dir='.'):
+    def train(self, filenames, val_filenames=None, checkpoint_dir='.',
+              resume=False):
         from .train import train_model
         return train_model(self, filenames, val_filenames,
-                           checkpoint_dir=checkpoint_dir)
+                           checkpoint_dir=checkpoint_dir, resume=resume)

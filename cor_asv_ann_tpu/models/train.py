@@ -196,9 +196,44 @@ class StopSignal:
         return False
 
 
-def train_model(s2s, filenames, val_filenames=None, checkpoint_dir='.'):
+def _state_path(checkpoint_dir):
+    import os
+    return os.path.join(checkpoint_dir or '.', 'train_state.pkl')
+
+
+def save_train_state(checkpoint_dir, params, opt_state, epoch, best_loss,
+                     best_params, split):
+    """Persist the full training state (incl. optimizer moments) for
+    resume — a capability the reference lacks (SURVEY.md 5: 'no
+    checkpoint-resume of optimizer state')."""
+    import pickle
+    to_np = lambda t: jax.tree_util.tree_map(np.asarray, t)
+    state = dict(params=to_np(params), opt_state=to_np(opt_state),
+                 epoch=epoch, best_loss=best_loss,
+                 best_params=to_np(best_params), split=split)
+    path = _state_path(checkpoint_dir)
+    with open(path + '.tmp', 'wb') as f:
+        pickle.dump(state, f)
+    import os
+    os.replace(path + '.tmp', path)
+
+
+def load_train_state(checkpoint_dir):
+    import os
+    import pickle
+    path = _state_path(checkpoint_dir)
+    if not os.path.exists(path):
+        return None
+    with open(path, 'rb') as f:
+        return pickle.load(f)
+
+
+def train_model(s2s, filenames, val_filenames=None, checkpoint_dir='.',
+                resume=False):
     """Full training orchestration for a Sequence2Sequence instance
-    (reference seq2seq.py:590-649)."""
+    (reference seq2seq.py:590-649). With `resume=True`, continue from the
+    train_state.pkl in `checkpoint_dir` (params, optimizer moments,
+    epoch counter and validation split are all restored)."""
     logger = s2s.logger
     num_lines = s2s.map_files(filenames)
     logger.info('Training on %d files with %d lines', len(filenames),
@@ -236,9 +271,25 @@ def train_model(s2s, filenames, val_filenames=None, checkpoint_dir='.'):
     best_params = params
     patience = getattr(s2s, 'patience', 3)  # reference: EarlyStopping(3)
     bad_epochs = 0
+    start_epoch = 1
+    if resume and checkpoint_dir is not None:
+        state = load_train_state(checkpoint_dir)
+        if state is not None:
+            params = state['params']
+            opt_state = state['opt_state']
+            best_loss = state['best_loss']
+            best_params = state['best_params']
+            start_epoch = state['epoch'] + 1
+            if state.get('split') is not None:
+                split = state['split']
+            logger.info('resuming training from epoch %d '
+                        '(best val_loss %.4f)', start_epoch, best_loss)
+        else:
+            logger.warning('resume requested but no train_state.pkl in %s',
+                           checkpoint_dir)
     history = {'loss': [], 'val_loss': []}
     with StopSignal(logger) as stop:
-        for epoch in range(1, s2s.epochs + 1):
+        for epoch in range(start_epoch, s2s.epochs + 1):
             ratio = (sample_ratio(s2s.scheduled_sampling, epoch, s2s.epochs)
                      if s2s.scheduled_sampling else 0.0)
             losses = []
@@ -308,6 +359,8 @@ def train_model(s2s, filenames, val_filenames=None, checkpoint_dir='.'):
                         '%s/model.ckpt.weights-%02d-%.2f.h5'
                         % (checkpoint_dir, epoch, val_loss),
                         params, config, s2s.mapping)
+                    save_train_state(checkpoint_dir, params, opt_state,
+                                     epoch, best_loss, best_params, split)
                 except Exception as err:  # pragma: no cover
                     logger.warning('cannot checkpoint: %s', err)
 
