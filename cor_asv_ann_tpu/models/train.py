@@ -352,6 +352,14 @@ def train_model(s2s, filenames, val_filenames=None, checkpoint_dir='.',
             logger.info('epoch %d loss %.4f val_loss %.4f', epoch,
                         train_loss, val_loss)
 
+            nan_stop = np.isnan(train_loss) or np.isnan(val_loss)
+            if not nan_stop and val_loss < best_loss:
+                best_loss = val_loss
+                best_params = params
+                bad_epochs = 0
+            elif not nan_stop:
+                bad_epochs += 1
+
             if checkpoint_dir is not None:
                 try:
                     from ..utils import io_h5
@@ -364,18 +372,12 @@ def train_model(s2s, filenames, val_filenames=None, checkpoint_dir='.',
                 except Exception as err:  # pragma: no cover
                     logger.warning('cannot checkpoint: %s', err)
 
-            if np.isnan(train_loss) or np.isnan(val_loss):
+            if nan_stop:
                 logger.warning('NaN loss, terminating')
                 break
-            if val_loss < best_loss:
-                best_loss = val_loss
-                best_params = params
-                bad_epochs = 0
-            else:
-                bad_epochs += 1
-                if bad_epochs >= patience:
-                    logger.info('early stopping (patience %d)', patience)
-                    break
+            if bad_epochs >= patience:
+                logger.info('early stopping (patience %d)', patience)
+                break
             if stop.stopping:
                 break
 

@@ -20,6 +20,9 @@ CONTEXT_SETTINGS = dict(help_option_names=['-h', '--help'])
               type=click.Path(dir_okay=False, exists=True))
 @click.option('--reset-encoder', is_flag=True,
               help='reset encoder weights after load/init')
+@click.option('--resume', is_flag=True,
+              help='resume from train_state.pkl in the working directory '
+                   '(params, optimizer moments, epoch counter)')
 @click.option('-w', '--width', default=128, show_default=True,
               type=click.IntRange(min=1, max=9128),
               help='number of nodes per hidden layer')
@@ -31,8 +34,8 @@ CONTEXT_SETTINGS = dict(help_option_names=['-h', '--help'])
               help='file to use for validation (instead of random split)')
 @click.argument('data', nargs=-1, type=click.Path(dir_okay=False,
                                                   exists=True))
-def cli(save_model, load_model, init_model, reset_encoder, width, depth,
-        valdata, data):
+def cli(save_model, load_model, init_model, reset_encoder, resume, width,
+        depth, valdata, data):
     """Train a correction model on GT files.
 
     Configure a sequence-to-sequence model with the given parameters.
@@ -97,7 +100,7 @@ def cli(save_model, load_model, init_model, reset_encoder, width, depth,
         s2s.params['encoder'] = fresh['encoder']
         s2s.params['attention_dense'] = fresh['attention_dense']
 
-    s2s.train(list(data), list(valdata) or None)
+    s2s.train(list(data), list(valdata) or None, resume=resume)
     if s2s.status > 1:
         s2s.save(save_model)
 
