@@ -102,8 +102,9 @@ def main():
     watchdog.start()
     config, mapping, params = build()
     # batch 1024 saturates the chip (per-step overhead amortizes across
-    # lines; the reference's default batch of 256 reaches ~7.5k lines/s,
-    # 1024 reaches ~23k; beyond that HBM working sets start to spill)
+    # lines; at the reference's default batch of 256 this config reaches
+    # ~7.5k lines/s in f32, 1024 in bf16 ~60-77k; beyond that HBM
+    # working sets start to spill)
     batch, length, pad = 1024, 60, 64
     enc = make_lines(mapping, batch, length, pad)
     lines_per_sec = bench_tpu(params, config, mapping, enc)

@@ -20,7 +20,9 @@ Model files remain interoperable with the reference's Keras HDF5 layout
 
 __version__ = "0.1.0"
 
-GAP = '\a'  # reserved character that never gets mapped (gap repairs)
+# reserved character that never gets mapped (gap repairs); duplicated as a
+# literal from utils.data.GAP so `import cor_asv_ann_tpu` stays numpy-free
+GAP = '\a'
 
 
 def __getattr__(name):

@@ -310,8 +310,7 @@ class Sequence2Sequence:
             out_lines, out_probs, out_scores, out_aligns = [], [], [], []
             for j in range(len(lines)):
                 L = int(length[j])
-                text = ''.join(self.mapping.i2c[int(i)]
-                               for i in idx[j, :L])
+                text = self._indexes2text(idx[j, :L])
                 out_lines.append(text.replace(GAP, ''))
                 out_probs.append(prob[j, :L].tolist())
                 out_scores.append(float(score[j]))
@@ -344,8 +343,7 @@ class Sequence2Sequence:
                 out_aligns.append(np.eye(len(text)).tolist())
                 continue
             L = int(out['length'][j, 0])
-            text = ''.join(self.mapping.i2c[int(i)]
-                           for i in out['idx'][j, 0, :L])
+            text = self._indexes2text(out['idx'][j, 0, :L])
             out_lines.append(text.replace(GAP, ''))
             out_probs.append(out['prob'][j, 0, :L].tolist())
             out_scores.append(float(out['cum'][j, 0] / max(L, 1)))
@@ -354,6 +352,9 @@ class Sequence2Sequence:
                 np.clip(centers, 0, T - 1)]
             out_aligns.append(align.tolist())
         return out_lines, out_probs, out_scores, out_aligns
+
+    def _indexes2text(self, indexes):
+        return ''.join(self.mapping.i2c[int(i)] for i in indexes)
 
     @staticmethod
     def _source_length(line, conf=None):
@@ -488,7 +489,7 @@ class Sequence2Sequence:
             return_alignments=True)
         idx = np.asarray(idx)
         length = np.asarray(length)
-        texts = [''.join(self.mapping.i2c[int(i)] for i in idx[j, :length[j]])
+        texts = [self._indexes2text(idx[j, :length[j]])
                  for j in range(idx.shape[0])]
         probs = [np.asarray(prob)[j, :length[j]].tolist()
                  for j in range(idx.shape[0])]

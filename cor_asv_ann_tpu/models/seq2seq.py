@@ -87,7 +87,7 @@ def _output_probs(params, h):
 
 
 def decoder_step(params, config: Seq2SeqConfig, feedback, states, attended,
-                 u, input_dropout_masks=None, enc_mask=None):
+                 u, enc_mask=None):
     """One decoder step for all layers.
 
     feedback (B, V): previous softmax output (or one-hot teacher input);
@@ -117,21 +117,7 @@ def decoder_step(params, config: Seq2SeqConfig, feedback, states, attended,
                             h_prev, prev_a, attended, u,
                             config.window_width, mask=enc_mask)
     cell_in = jnp.concatenate([out, ctx], axis=-1)
-    if input_dropout_masks is not None:
-        # Keras LSTMCell input dropout: 4 masks, one per gate, constant
-        # over the sequence (training only)
-        W = config.width
-        ks = [jnp.dot(cell_in * input_dropout_masks[g],
-                      top['cell']['kernel'][:, g * W:(g + 1) * W],
-                      preferred_element_type=jnp.float32)
-              for g in range(4)]
-        z = jnp.concatenate(ks, axis=-1) \
-            + jnp.dot(h_prev, top['cell']['recurrent_kernel'],
-                      preferred_element_type=jnp.float32) \
-            + top['cell']['bias']
-        h, c = gate_math(z, c_prev)
-    else:
-        h, c = step(cell_in, h_prev, c_prev, top['cell'])
+    h, c = step(cell_in, h_prev, c_prev, top['cell'])
     new_states.append((h, c))
     if config.residual_connections and depth > 1:
         out = h + out

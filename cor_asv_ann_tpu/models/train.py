@@ -30,6 +30,8 @@ lib/keras_train.py:27-296) on TPU:
 
 import functools
 import math
+import os
+import pickle
 import signal
 
 import numpy as np
@@ -81,17 +83,22 @@ def weighted_xent(probs, targets, weights):
     return jnp.sum(ll * weights) / denom
 
 
+def _data_loss(out, dec_out, weights, lm_loss):
+    """Crossentropy over a forward_teacher result; with lm_loss, the sum
+    of the conditioned and unconditioned passes (seq2seq.py:383-385)."""
+    if lm_loss:
+        probs, lm_probs = out
+        return (weighted_xent(probs, dec_out, weights)
+                + weighted_xent(lm_probs, dec_out, weights))
+    return weighted_xent(out, dec_out, weights)
+
+
 @functools.partial(jax.jit, static_argnames=('config', 'lm_loss'))
 def loss_fn(params, config, enc, dec_in, dec_out, weights, rng,
             lm_loss=False):
     out = forward_teacher(params, config, enc, dec_in, dropout_rng=rng,
                           train=True, lm=lm_loss)
-    if lm_loss:
-        probs, lm_probs = out
-        loss = (weighted_xent(probs, dec_out, weights)
-                + weighted_xent(lm_probs, dec_out, weights))
-    else:
-        loss = weighted_xent(out, dec_out, weights)
+    loss = _data_loss(out, dec_out, weights, lm_loss)
     return loss + embedding_regularizer(params['char_embedding']['kernel'])
 
 
@@ -133,11 +140,7 @@ def eval_step(params, config, enc, dec_in, dec_out, weights,
               lm_loss=False):
     out = forward_teacher(params, config, enc, dec_in, train=False,
                           lm=lm_loss)
-    if lm_loss:
-        probs, lm_probs = out
-        return (weighted_xent(probs, dec_out, weights)
-                + weighted_xent(lm_probs, dec_out, weights))
-    return weighted_xent(out, dec_out, weights)
+    return _data_loss(out, dec_out, weights, lm_loss)
 
 
 def sample_ratio(schedule, epoch, epochs):
@@ -197,7 +200,6 @@ class StopSignal:
 
 
 def _state_path(checkpoint_dir):
-    import os
     return os.path.join(checkpoint_dir or '.', 'train_state.pkl')
 
 
@@ -206,7 +208,6 @@ def save_train_state(checkpoint_dir, params, opt_state, epoch, best_loss,
     """Persist the full training state (incl. optimizer moments) for
     resume — a capability the reference lacks (SURVEY.md 5: 'no
     checkpoint-resume of optimizer state')."""
-    import pickle
     to_np = lambda t: jax.tree_util.tree_map(np.asarray, t)
     state = dict(params=to_np(params), opt_state=to_np(opt_state),
                  epoch=epoch, best_loss=best_loss,
@@ -214,13 +215,10 @@ def save_train_state(checkpoint_dir, params, opt_state, epoch, best_loss,
     path = _state_path(checkpoint_dir)
     with open(path + '.tmp', 'wb') as f:
         pickle.dump(state, f)
-    import os
     os.replace(path + '.tmp', path)
 
 
 def load_train_state(checkpoint_dir):
-    import os
-    import pickle
     path = _state_path(checkpoint_dir)
     if not os.path.exists(path):
         return None

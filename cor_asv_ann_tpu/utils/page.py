@@ -118,13 +118,7 @@ class PageElement:
             te_el.set('dataTypeDetails', data_type_details)
         if comments is not None:
             te_el.set('comments', comments)
-        self._reorder_textequiv(te_el)
         return te
-
-    def _reorder_textequiv(self, te_el):
-        """Keep TextEquiv elements before child structure elements is not
-        required by the schema order we produce; keep insertion order."""
-        return te_el
 
     def remove_textequivs(self):
         self.remove_children('TextEquiv')
