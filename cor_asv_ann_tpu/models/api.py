@@ -70,6 +70,9 @@ class Sequence2Sequence:
         self.config = None
         self.params = None
         self.status = 0
+        # multi-chip serving: a jax.sharding.Mesh with ('data', 'model')
+        # axes (see use_mesh); None = single-device placement
+        self.mesh = None
 
     @property
     def voc_size(self):
@@ -272,28 +275,65 @@ class Sequence2Sequence:
                 out_aligns.append(res[3][j])
         return out_lines, out_probs, out_scores, out_aligns
 
+    def use_mesh(self, mesh=None, n_devices=None):
+        """Enable multi-chip SPMD serving over a ('data', 'model') mesh.
+
+        Batches are sharded over 'data' (pure data parallelism — decoding
+        scales in lines) and the wide parameter matrices over 'model'
+        (tensor parallelism); XLA GSPMD inserts the collectives. The
+        reference has no multi-device execution at all (SURVEY.md 2.9).
+        Call with no arguments to span all visible devices, or pass a
+        prebuilt Mesh. `use_mesh(mesh=False)` reverts to single-device.
+        """
+        if mesh is False:
+            self.mesh = None
+        else:
+            from ..parallel.mesh import make_mesh
+            self.mesh = mesh or make_mesh(n_devices)
+        self._infer_cache = None
+        return self.mesh
+
     def _infer_params(self):
         """Parameters for inference: float32 masters, or a cached
-        bfloat16 copy when self.compute == 'bfloat16'."""
-        if self.compute != 'bfloat16':
-            return self.params
+        bfloat16 copy when self.compute == 'bfloat16'; placed onto
+        self.mesh (model-axis sharded) when one is set."""
         import jax
         import jax.numpy as jnp
-        cached = getattr(self, '_bf16_params', None)
-        if cached is None or cached[0] is not self.params:
-            bf16 = jax.tree_util.tree_map(
+        cached = getattr(self, '_infer_cache', None)
+        if cached is not None and cached[0][0] is self.params \
+                and cached[0][1] == self.compute \
+                and cached[0][2] is self.mesh:
+            return cached[1]
+        params = jax.tree_util.tree_map(jnp.asarray, self.params)
+        if self.compute == 'bfloat16':
+            params = jax.tree_util.tree_map(
                 lambda a: a.astype(jnp.bfloat16)
-                if hasattr(a, 'dtype') and a.dtype == jnp.float32 else a,
-                jax.tree_util.tree_map(jnp.asarray, self.params))
-            self._bf16_params = (self.params, bf16)
-            cached = self._bf16_params
-        return cached[1]
+                if a.dtype == jnp.float32 else a, params)
+        if self.mesh is not None:
+            from ..parallel.mesh import shard_params
+            params = shard_params(params, self.mesh)
+        self._infer_cache = ((self.params, self.compute, self.mesh),
+                             params)
+        return params
+
+    def _place_batch(self, enc):
+        """Put a host batch onto the serving mesh, sharded over 'data'
+        (replicated if the batch doesn't divide the data axis)."""
+        if self.mesh is None:
+            return enc
+        import jax
+        from ..parallel.mesh import batch_sharding, replicated
+        sh = (batch_sharding(self.mesh, np.ndim(enc))
+              if enc.shape[0] % self.mesh.shape['data'] == 0
+              else replicated(self.mesh))
+        return jax.device_put(enc, sh)
 
     def _correct_batch(self, lines, conf, greedy,
                        return_alignments=True):
         enc, _, _, _ = vectorize_lines(
             self.mapping, lines, ['' for _ in lines], confs=conf,
             logger=self.logger)
+        enc = self._place_batch(enc)
         newline = self.mapping.get('\n')
         B, T, V = enc.shape
         params = self._infer_params()
@@ -485,8 +525,8 @@ class Sequence2Sequence:
         newline = self.mapping.get('\n')
         idx, prob, length, score, aligns = decode_greedy(
             self._infer_params(), self.config,
-            np.asarray(encoder_input_data, np.float32), newline,
-            return_alignments=True)
+            self._place_batch(np.asarray(encoder_input_data, np.float32)),
+            newline, return_alignments=True)
         idx = np.asarray(idx)
         length = np.asarray(length)
         texts = [self._indexes2text(idx[j, :length[j]])

@@ -34,7 +34,10 @@ CONTEXT_SETTINGS = dict(help_option_names=['-h', '--help'])
 @click.option('--jax-trace', default=None,
               type=click.Path(file_okay=False),
               help='write a jax.profiler device trace to this directory')
-def cli(load_model, fast, rejection, charmap, old_suffix, new_suffix, data, profile, profile_file, jax_trace):
+@click.option('--mesh', 'mesh_devices', default=0, type=int,
+              help='serve over N devices (0 = single device, -1 = all): '
+                   'data-parallel batches + tensor-parallel weights')
+def cli(load_model, fast, rejection, charmap, old_suffix, new_suffix, data, profile, profile_file, jax_trace, mesh_devices):
     """Apply a correction model on GT or text files.
 
     Load a sequence-to-sequence model from the given path. Then open the
@@ -65,6 +68,10 @@ def cli(load_model, fast, rejection, charmap, old_suffix, new_suffix, data, prof
     s2s.configure()
     s2s.load_weights(load_model)
     s2s.rejection_threshold = rejection
+    if mesh_devices:
+        mesh = s2s.use_mesh(
+            n_devices=None if mesh_devices < 0 else mesh_devices)
+        logging.info('serving over mesh %s', dict(mesh.shape))
     if isinstance(charmap, str) and charmap:
         import ast
         charmap = ast.literal_eval(charmap)

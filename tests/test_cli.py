@@ -77,6 +77,23 @@ def test_proc_cli(model_file, tmp_path):
     assert len(out.read_text()) > 0
 
 
+def test_proc_cli_mesh(model_file, tmp_path):
+    """--mesh -1 serves over all (virtual) devices; output matches the
+    single-device run byte for byte."""
+    from cor_asv_ann_tpu.scripts.proc import cli
+    data = tmp_path / 'lines.txt'
+    data.write_text("abba dig\nchef i gad\n")
+    runner = CliRunner()
+    result = runner.invoke(cli, ['-m', model_file, '-f',
+                                 '-s', '.cor1.txt', str(data)])
+    assert result.exit_code == 0, result.output
+    result = runner.invoke(cli, ['-m', model_file, '-f', '--mesh', '-1',
+                                 '-s', '.cor8.txt', str(data)])
+    assert result.exit_code == 0, result.output
+    assert (tmp_path / 'lines.cor8.txt').read_text() == \
+        (tmp_path / 'lines.cor1.txt').read_text()
+
+
 def test_eval_cli(model_file, tmp_path):
     from cor_asv_ann_tpu.scripts.eval import cli
     data = tmp_path / 'pairs.tsv'

@@ -50,3 +50,33 @@ def test_sharded_decode_matches_single():
     with mesh:
         idx2, _, len2, _, _ = decode_greedy(sp, config, enc_s, newline)
     np.testing.assert_array_equal(np.asarray(idx1), np.asarray(idx2))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason='needs 2+ devices')
+def test_api_use_mesh_serving():
+    """s2s.use_mesh(): correct_lines output is identical to
+    single-device serving (dp-sharded batch, tp-sharded params)."""
+    from cor_asv_ann_tpu.models.api import Sequence2Sequence
+
+    s2s = Sequence2Sequence()
+    s2s.width, s2s.depth, s2s.batch_size = 16, 2, 8
+    s2s.mapping, _ = s2s.mapping.grow(["abcdefgh .,\n"])
+    s2s.configure()
+    s2s.params['char_embedding']['kernel'] = \
+        s2s.params['char_embedding']['kernel'] * 400.0
+    s2s.status = 2
+    lines = ["abba dig.\n", "chef gad.\n"] * 4
+    base, base_p, base_s, _ = s2s.correct_lines(lines, fast=True,
+                                                greedy=True)
+    mesh = s2s.use_mesh()
+    assert mesh.shape['data'] * mesh.shape['model'] == len(jax.devices())
+    out, probs, scores, _ = s2s.correct_lines(lines, fast=True,
+                                              greedy=True)
+    assert out == base
+    np.testing.assert_allclose(scores, base_s, atol=1e-5)
+    # beam path through the mesh as well
+    beam_out, _, _, _ = s2s.correct_lines(lines, fast=False, greedy=False)
+    s2s.use_mesh(mesh=False)
+    beam_base, _, _, _ = s2s.correct_lines(lines, fast=False,
+                                           greedy=False)
+    assert beam_out == beam_base
