@@ -47,22 +47,34 @@ def make_lines(mapping, batch, length, pad):
 def bench_tpu(params, config, mapping, enc, repeats=20):
     """Greedy decode throughput with bfloat16 compute (the production
     inference mode, s2s.compute='bfloat16'; float32 masters, float32
-    accumulation — see models/api.py)."""
+    accumulation — see models/api.py).
+
+    Measurement protocol (hardened against remote-device transports):
+    the input batch is pinned on device once (host-link bandwidth is not
+    the quantity under test), the `repeats` iterations are CHAINED — each
+    iteration's input depends on the previous iteration's output, so an
+    asynchronous or memoizing transport cannot elide executions — and a
+    single host fetch at the end is the sync point, amortizing the
+    transport round trip over all repeats.
+    """
     import jax
     import jax.numpy as jnp
     from cor_asv_ann_tpu.models.seq2seq import decode_greedy
     newline = mapping.get('\n')
     params = jax.tree_util.tree_map(
         lambda a: jnp.asarray(a).astype(jnp.bfloat16), params)
+    enc = jax.device_put(enc)
     out = decode_greedy(params, config, enc, newline)
-    jax.block_until_ready(out[0])  # compile
-    times = []
+    np.asarray(out[2])  # compile + pipeline warm-up, fetch = full sync
+    t0 = time.perf_counter()
+    e = enc
     for _ in range(repeats):
-        t0 = time.perf_counter()
-        out = decode_greedy(params, config, enc, newline)
-        jax.block_until_ready(out[0])
-        times.append(time.perf_counter() - t0)
-    return enc.shape[0] / min(times)
+        out = decode_greedy(params, config, e, newline)
+        # 0-valued data dependency on this iteration's result
+        e = e + (out[3][0] * 0).astype(e.dtype)
+    np.asarray(out[2])
+    dt = time.perf_counter() - t0
+    return repeats * enc.shape[0] / dt
 
 
 def bench_baseline(params, config, mapping, enc, sample=4, max_steps=24):

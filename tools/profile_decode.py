@@ -1,64 +1,71 @@
+"""Decode roofline profiler (run on the real TPU).
+
+Times encode and greedy decode (dense vs windowed attention) at the
+bench configuration with the hardened protocol from bench.py: inputs
+pinned on device, iterations chained through a 0-valued data dependency,
+one host fetch as the sync point. Plain block_until_ready is NOT a
+reliable sync on remote-transport devices (see bench.py docstring).
+
+Findings recorded in NOTES.md ("Performance map"): greedy decode is
+HBM-bandwidth-bound (dense attention re-reads u and attended, ~134MB
+per step at B=1024 T=64 W=512 bf16); dense and windowed are equal at
+T=64 because XLA's row gather runs ~25x slower than streaming reads, so
+windowed attention only wins for T greater than roughly 25x the window.
+"""
+
 import time
+import sys
+
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-import sys
 sys.path.insert(0, '/root/repo')
-from bench import build, make_lines
-from cor_asv_ann_tpu.models import seq2seq
-
-config, mapping, params = build()
-batch, length, pad = 1024, 60, 64
-enc = make_lines(mapping, batch, length, pad)
-newline = mapping.get('\n')
-params = jax.tree_util.tree_map(
-    lambda a: jnp.asarray(a).astype(jnp.bfloat16), params)
+from bench import build, make_lines                      # noqa: E402
+from cor_asv_ann_tpu.models import seq2seq               # noqa: E402
 
 
-def timeit(fn, *args, n=10, **kw):
-    out = fn(*args, **kw)
-    jax.block_until_ready(out)
-    ts = []
+def timeit(fn, enc, n=10):
+    """Chained timing: n dependent iterations, one final fetch."""
+    out = fn(enc)
+    np.asarray(jax.tree_util.tree_leaves(out)[0])  # warm + sync
+    t0 = time.perf_counter()
+    e = enc
     for _ in range(n):
-        t0 = time.perf_counter()
-        out = fn(*args, **kw)
-        jax.block_until_ready(out)
-        ts.append(time.perf_counter() - t0)
-    return min(ts)
+        out = fn(e)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        e = e + (leaf.reshape(-1)[0] * 0).astype(e.dtype)
+    np.asarray(jax.tree_util.tree_leaves(out)[0])
+    return (time.perf_counter() - t0) / n
 
 
-# encode only
-enc_t = timeit(jax.jit(lambda e: seq2seq.encode(params, config, e)), enc)
-print('encode only: %.2f ms' % (enc_t * 1e3))
+def main():
+    config, mapping, params = build()
+    batch, length, pad = 1024, 60, 64
+    enc = jax.device_put(make_lines(mapping, batch, length, pad))
+    newline = mapping.get('\n')
+    params = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a).astype(jnp.bfloat16), params)
 
-# full dense greedy
-t = timeit(seq2seq.decode_greedy, params, config, enc, newline)
-out = seq2seq.decode_greedy(params, config, enc, newline)
-steps = int(np.asarray(out[2]).max())
-print('dense greedy: %.2f ms  (max len %d) -> %.1f us/step' %
-      (t * 1e3, steps, (t - enc_t) / max(steps + 1, 1) * 1e6))
+    t_enc = timeit(jax.jit(lambda e: seq2seq.encode(params, config, e)),
+                   enc)
+    print('encode: %.2f ms' % (t_enc * 1e3))
 
-# windowed greedy
-t2 = timeit(seq2seq.decode_greedy_windowed, params, config, enc, newline)
-out2 = seq2seq.decode_greedy_windowed(params, config, enc, newline)
-steps2 = int(np.asarray(out2[2]).max())
-print('windowed greedy: %.2f ms (max len %d) -> %.1f us/step' %
-      (t2 * 1e3, steps2, (t2 - enc_t) / max(steps2 + 1, 1) * 1e6))
-same = (np.array_equal(np.asarray(out[0]), np.asarray(out2[0])) and
-        np.array_equal(np.asarray(out[2]), np.asarray(out2[2])))
-print('outputs identical:', same)
+    for name, fn in [('dense', seq2seq.decode_greedy),
+                     ('windowed', seq2seq.decode_greedy_windowed)]:
+        t = timeit(lambda e, f=fn: f(params, config, e, newline), enc)
+        print('%s greedy: %.2f ms -> %.0f lines/s'
+              % (name, t * 1e3, batch / t))
+        t32 = timeit(lambda e, f=fn: f(params, config, e, newline,
+                                       max_steps=32), enc)
+        t64 = timeit(lambda e, f=fn: f(params, config, e, newline,
+                                       max_steps=64), enc)
+        step = (t64 - t32) / 32
+        # dense attention streams u+attended (B,T,W bf16 each) per step
+        traffic = 2 * batch * pad * config.width * 2
+        print('  marginal %.1f us/step; implied HBM read %.0f GB/s (dense '
+              'traffic model)' % (step * 1e6, traffic / step / 1e9))
 
-# fixed-steps dense decode (no early exit) for clean per-step cost
-t3 = timeit(seq2seq.decode_greedy, params, config, enc, newline,
-            max_steps=32)
-t4 = timeit(seq2seq.decode_greedy, params, config, enc, newline,
-            max_steps=64)
-print('dense 32 steps: %.2f ms; 64 steps: %.2f ms -> %.1f us/step marginal'
-      % (t3 * 1e3, t4 * 1e3, (t4 - t3) / 32 * 1e6))
-t5 = timeit(seq2seq.decode_greedy_windowed, params, config, enc, newline,
-            max_steps=32)
-t6 = timeit(seq2seq.decode_greedy_windowed, params, config, enc, newline,
-            max_steps=64)
-print('windowed 32: %.2f ms; 64: %.2f ms -> %.1f us/step marginal'
-      % (t5 * 1e3, t6 * 1e3, (t6 - t5) / 32 * 1e6))
+
+if __name__ == '__main__':
+    main()
