@@ -206,7 +206,11 @@ def _decode_teacher(params, config, dec_input, states, attended, u,
         return (h_new, c_new, a_new), h_new
 
     xs = jnp.swapaxes(out, 0, 1)
-    _, hs = jax.lax.scan(body, (h0, c0, a0), xs)
+    # rematerialize the step in the backward pass: without this, autodiff
+    # saves the (B, T, W) attention-energy tanh for every decoder step —
+    # Td*B*T*W floats (8GB at B=256, T=Td=128, W=512), which OOMs the
+    # chip; recomputing it costs a fraction of the backward matmul time
+    _, hs = jax.lax.scan(jax.checkpoint(body), (h0, c0, a0), xs)
     out2 = jnp.swapaxes(hs, 0, 1)
     if config.residual_connections and depth > 1:
         out = out2 + out
