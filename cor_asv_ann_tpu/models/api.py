@@ -27,7 +27,13 @@ from ..utils.data import (CharMapping, GAP, gen_line_batches, scan_files,
                           vectorize_lines)
 from .beam import BeamParams, decode_beam
 from .config import Seq2SeqConfig, init_params
-from .seq2seq import decode_greedy
+from .seq2seq import decode_greedy, decode_greedy_windowed
+
+# bucket length above which windowed-gather attention beats dense
+# streaming (dense re-reads the full (B, T, W) u/attended per step;
+# XLA's row gather is ~25x slower per byte, so the crossover sits at
+# T ~ 25x the 11-wide window — see NOTES.md "Performance map")
+WINDOWED_DECODE_MIN_T = 256
 
 
 class Sequence2Sequence:
@@ -338,7 +344,9 @@ class Sequence2Sequence:
         B, T, V = enc.shape
         params = self._infer_params()
         if greedy:
-            idx, prob, length, score, aligns = decode_greedy(
+            decode = (decode_greedy_windowed
+                      if T >= WINDOWED_DECODE_MIN_T else decode_greedy)
+            idx, prob, length, score, aligns = decode(
                 params, self.config, enc, newline,
                 return_alignments=return_alignments)
             idx = np.asarray(idx)

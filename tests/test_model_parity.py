@@ -122,3 +122,33 @@ def test_windowed_equals_full_greedy(tiny_setup):
     np.testing.assert_array_equal(np.asarray(full[2]), np.asarray(win[2]))
     np.testing.assert_allclose(np.asarray(full[4]), np.asarray(win[4]),
                                atol=1e-5)
+
+
+def test_api_windowed_switch_long_lines():
+    """correct_lines auto-selects windowed-gather attention for long
+    buckets (T >= 256); results equal the dense decoder's."""
+    from cor_asv_ann_tpu.models import api as A
+    from cor_asv_ann_tpu.models.api import Sequence2Sequence
+
+    s2s = Sequence2Sequence()
+    s2s.width, s2s.depth, s2s.batch_size = 16, 2, 4
+    s2s.mapping, _ = s2s.mapping.grow(["abcdefgh .,\n"])
+    s2s.configure()
+    s2s.params['char_embedding']['kernel'] = \
+        s2s.params['char_embedding']['kernel'] * 400.0
+    s2s.status = 2
+    long = ("abba dig. " * 25).strip() + "\n"      # ~250 chars -> T=256
+    assert len(long) >= 200
+    out_w, _, scores_w, _ = s2s.correct_lines([long, "hi.\n"], fast=True,
+                                              greedy=True)
+    # force the dense path for comparison
+    old = A.WINDOWED_DECODE_MIN_T
+    try:
+        A.WINDOWED_DECODE_MIN_T = 10 ** 9
+        s2s._infer_cache = None
+        out_d, _, scores_d, _ = s2s.correct_lines([long, "hi.\n"],
+                                                  fast=True, greedy=True)
+    finally:
+        A.WINDOWED_DECODE_MIN_T = old
+    assert out_w == out_d
+    np.testing.assert_allclose(scores_w, scores_d, atol=1e-4)
