@@ -189,7 +189,9 @@ def decode_beam(params, config: Seq2SeqConfig, bp: BeamParams, enc_input,
 
     src_any = jnp.any(enc_input != 0, axis=2)                     # (B, T)
     src_top = jnp.argmax(enc_input, axis=2).astype(jnp.int32)     # (B, T)
-    len0 = src_len.astype(attended.dtype)                          # (B,)
+    # costs/length prior accumulate in f32 even in bf16 compute:
+    # bf16's 8-bit mantissa is too coarse for ordering summed -log p
+    len0 = src_len.astype(jnp.float32)                             # (B,)
     line_live = jnp.any(enc_input.reshape(B, -1) != 0, axis=1)
 
     def tile_r(x):  # (B, ...) -> (B, R, ...)
@@ -203,18 +205,18 @@ def decode_beam(params, config: Seq2SeqConfig, bp: BeamParams, enc_input,
         aw=jnp.zeros((B, R, WIN), attended.dtype),
         astart=jnp.zeros((B, R), jnp.int32),
         feedback=jnp.zeros((B, R, V), attended.dtype),
-        cum=jnp.where(root, 0.0, INF).astype(attended.dtype)
+        cum=jnp.where(root, 0.0, INF).astype(jnp.float32)
             * jnp.ones((B, 1)),
         pro=(jnp.where(root, 0.0, INF)[None]
              + bp.cost0 * jnp.abs(1.0 - len0[:, None])
-             ).astype(attended.dtype),
+             ).astype(jnp.float32),
         nchars=jnp.zeros((B, R), jnp.int32),
         was_rej=jnp.zeros((B, R), bool),
         seq=jnp.zeros((B, R, S), jnp.int32),
         seq_p=jnp.zeros((B, R, S), attended.dtype),
         seq_ap=jnp.zeros((B, R, S), jnp.int32),
-        bank_cost=jnp.full((B, F), INF, attended.dtype),
-        bank_cum=jnp.full((B, F), INF, attended.dtype),
+        bank_cost=jnp.full((B, F), INF, jnp.float32),
+        bank_cum=jnp.full((B, F), INF, jnp.float32),
         bank_len=jnp.zeros((B, F), jnp.int32),
         bank_seq=jnp.zeros((B, F, S), jnp.int32),
         bank_seq_p=jnp.zeros((B, F, S), attended.dtype),
@@ -307,7 +309,8 @@ def decode_beam(params, config: Seq2SeqConfig, bp: BeamParams, enc_input,
             rate_p = jnp.take_along_axis(lm_probs, cand_idx, axis=-1)
         else:
             rate_p = cand_p
-        cand_cost = -jnp.log(jnp.maximum(rate_p, 1e-30))
+        cand_cost = -jnp.log(
+            jnp.maximum(rate_p.astype(jnp.float32), 1e-30))
         c_cum = e_cum[..., None] + cand_cost
         c_nchars = (e_nchars + 1)[..., None]                      # (B,K,1)
         c_pro = c_cum + bp.cost0 * jnp.abs(

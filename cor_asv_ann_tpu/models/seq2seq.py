@@ -73,8 +73,8 @@ def encode(params, config: Seq2SeqConfig, enc_input, dropout_rng=None,
             out = jnp.where(keep, out / (1.0 - config.dropout), 0.0)
         if config.bridge_dense:
             bw_ = params['bridge'][n]
-            h = jnp.tanh(jnp.dot(h, bw_['h']['kernel']) + bw_['h']['bias'])
-            c = jnp.tanh(jnp.dot(c, bw_['c']['kernel']) + bw_['c']['bias'])
+            h = jnp.tanh(mm(h, bw_['h']['kernel']) + bw_['h']['bias'])
+            c = jnp.tanh(mm(c, bw_['c']['kernel']) + bw_['c']['bias'])
         states.append((h, c))
     u = mm(out, params['attention_dense']['kernel'])
     return out, states, u
@@ -190,14 +190,16 @@ def _decode_teacher(params, config, dec_input, states, attended, u,
                                     config.window_width, mask=enc_mask)
         cell_in = jnp.concatenate([x_t, ctx], axis=-1)
         if masks is not None:
-            ks = [jnp.dot(cell_in * masks[g],
+            kdt = top['cell']['kernel'].dtype
+            ks = [jnp.dot((cell_in * masks[g]).astype(kdt),
                           top['cell']['kernel'][:, g * W:(g + 1) * W],
                           preferred_element_type=jnp.float32)
                   for g in range(4)]
-            z = jnp.concatenate(ks, axis=-1) \
-                + jnp.dot(h, top['cell']['recurrent_kernel'],
-                          preferred_element_type=jnp.float32) \
-                + top['cell']['bias']
+            z = (jnp.concatenate(ks, axis=-1)
+                 + jnp.dot(h.astype(kdt),
+                           top['cell']['recurrent_kernel'],
+                           preferred_element_type=jnp.float32)
+                 ).astype(kdt) + top['cell']['bias']
         else:
             z = mm(cell_in, top['cell']['kernel']) \
                 + mm(h, top['cell']['recurrent_kernel']) \
@@ -254,7 +256,7 @@ def decode_greedy(params, config: Seq2SeqConfig, enc_input,
         out_idx=jnp.zeros((B, S), jnp.int32),
         out_prob=jnp.zeros((B, S), attended.dtype),
         length=jnp.zeros((B,), jnp.int32),
-        score=jnp.zeros((B,), attended.dtype),
+        score=jnp.zeros((B,), jnp.float32),
         out_align=(jnp.zeros((B, S, T), attended.dtype)
                    if return_alignments else jnp.zeros((0,), attended.dtype)),
     )
@@ -273,7 +275,8 @@ def decode_greedy(params, config: Seq2SeqConfig, enc_input,
         out_idx = s['out_idx'].at[:, t].set(jnp.where(active, idx, 0))
         out_prob = s['out_prob'].at[:, t].set(jnp.where(active, p, 0.0))
         length = s['length'] + active.astype(jnp.int32)
-        score = s['score'] + jnp.where(active, -jnp.log(p), 0.0)
+        score = s['score'] + jnp.where(
+            active, -jnp.log(p.astype(jnp.float32)), 0.0)
         done = s['done'] | (idx == newline_idx)
         out_align = s['out_align']
         if return_alignments:
@@ -328,7 +331,7 @@ def decode_greedy_windowed(params, config: Seq2SeqConfig, enc_input,
         out_idx=jnp.zeros((B, S), jnp.int32),
         out_prob=jnp.zeros((B, S), attended.dtype),
         length=jnp.zeros((B,), jnp.int32),
-        score=jnp.zeros((B,), attended.dtype),
+        score=jnp.zeros((B,), jnp.float32),
         out_align=(jnp.zeros((B, S, T), attended.dtype)
                    if return_alignments else jnp.zeros((0,), attended.dtype)),
     )
@@ -348,7 +351,8 @@ def decode_greedy_windowed(params, config: Seq2SeqConfig, enc_input,
         out_idx = s['out_idx'].at[:, t].set(jnp.where(active, idx, 0))
         out_prob = s['out_prob'].at[:, t].set(jnp.where(active, p, 0.0))
         length = s['length'] + active.astype(jnp.int32)
-        score = s['score'] + jnp.where(active, -jnp.log(p), 0.0)
+        score = s['score'] + jnp.where(
+            active, -jnp.log(p.astype(jnp.float32)), 0.0)
         done = s['done'] | (idx == newline_idx)
         out_align = s['out_align']
         if return_alignments:

@@ -29,13 +29,17 @@ CONTEXT_SETTINGS = dict(help_option_names=['-h', '--help'])
 @click.option('-d', '--depth', default=2, show_default=True,
               type=click.IntRange(min=1, max=10),
               help='number of stacked hidden layers')
+@click.option('--compute', default=None,
+              type=click.Choice(['float32', 'bfloat16']),
+              help='training compute dtype (bfloat16: ~2x step throughput '
+                   'via mixed precision, float32 masters)')
 @click.option('-v', '--valdata', multiple=True,
               type=click.Path(dir_okay=False, exists=True),
               help='file to use for validation (instead of random split)')
 @click.argument('data', nargs=-1, type=click.Path(dir_okay=False,
                                                   exists=True))
 def cli(save_model, load_model, init_model, reset_encoder, resume, width,
-        depth, valdata, data):
+        depth, compute, valdata, data):
     """Train a correction model on GT files.
 
     Configure a sequence-to-sequence model with the given parameters.
@@ -73,6 +77,8 @@ def cli(save_model, load_model, init_model, reset_encoder, resume, width,
     s2s = Sequence2Sequence(logger=logging.getLogger(__name__))
     s2s.width = width
     s2s.depth = depth
+    if compute:
+        s2s.train_compute = compute
     if os.environ.get('CORASVANN_TEST_EPOCHS'):
         s2s.epochs = int(os.environ['CORASVANN_TEST_EPOCHS'])
     s2s.configure()
