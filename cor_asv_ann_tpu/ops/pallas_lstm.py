@@ -26,14 +26,27 @@ def _round_up(x, m):
 
 def _lstm_step_kernel(x_ref, h_ref, c_ref, k_ref, r_ref, b_ref,
                       h_out_ref, c_out_ref):
-    z = (jnp.dot(x_ref[:], k_ref[:], preferred_element_type=jnp.float32)
-         + jnp.dot(h_ref[:], r_ref[:], preferred_element_type=jnp.float32)
+    # mirror ops.lstm.mm exactly: f32 accumulation per matmul, each
+    # result rounded to the weight dtype before the sum and gate math
+    dt = h_out_ref.dtype
+    z = (jnp.dot(x_ref[:], k_ref[:],
+                 preferred_element_type=jnp.float32).astype(dt)
+         + jnp.dot(h_ref[:], r_ref[:],
+                   preferred_element_type=jnp.float32).astype(dt)
          + b_ref[:])
     n = z.shape[-1] // 4
-    i = jax.nn.sigmoid(z[:, :n])
-    f = jax.nn.sigmoid(z[:, n:2 * n])
+    # manual sigmoid: Mosaic rejects jax.nn.sigmoid's f32 scalar
+    # broadcast on bf16 vectors; this form is byte-identical to XLA's
+    # logistic on both f32 and bf16 (verified on TPU)
+    one = jnp.asarray(1.0, dt)
+
+    def sig(v):
+        return one / (one + jnp.exp(-v))
+
+    i = sig(z[:, :n])
+    f = sig(z[:, n:2 * n])
     g = jnp.tanh(z[:, 2 * n:3 * n])
-    o = jax.nn.sigmoid(z[:, 3 * n:])
+    o = sig(z[:, 3 * n:])
     c = f * c_ref[:] + i * g
     h_out_ref[:] = o * jnp.tanh(c)
     c_out_ref[:] = c
@@ -80,17 +93,27 @@ def lstm_step_fused(x, h, c, kernel, recurrent_kernel, bias,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((pad_b, W), jnp.float32),
-            jax.ShapeDtypeStruct((pad_b, W), jnp.float32),
+            # outputs follow the weight dtype, matching ops.lstm.mm's
+            # rounding (bf16 params -> bf16 carries, f32 accumulation)
+            jax.ShapeDtypeStruct((pad_b, W), kernel.dtype),
+            jax.ShapeDtypeStruct((pad_b, W), kernel.dtype),
         ],
         interpret=interpret,
-    )(x, h, c, kernel, recurrent_kernel, bias.reshape(1, -1))
+    )(x.astype(kernel.dtype), h.astype(kernel.dtype),
+      c.astype(kernel.dtype), kernel, recurrent_kernel,
+      bias.reshape(1, -1))
     return h_out[:B], c_out[:B]
 
 
 def lstm_step_auto(x, h, c, w):
     """Drop-in for ops.lstm.lstm_step using the fused kernel on TPU and
-    the interpreter elsewhere."""
+    the interpreter elsewhere.
+
+    On real TPUs the kernel's MXU accumulation order differs from XLA's,
+    so results can drift by ~1 ulp of the weight dtype — enough to flip
+    greedy argmax ties on low-margin (untrained) models. Trained models
+    with confident outputs are unaffected in practice; the float32 path
+    stays the parity reference."""
     on_tpu = jax.default_backend() == 'tpu'
     return lstm_step_fused(x, h, c, w['kernel'], w['recurrent_kernel'],
                            w['bias'], interpret=not on_tpu)

@@ -48,3 +48,29 @@ def test_pallas_flag_decode_matches():
     idx2, _, len2, _, _ = decode_greedy(params, config2, enc, newline)
     np.testing.assert_array_equal(np.asarray(idx1), np.asarray(idx2))
     np.testing.assert_array_equal(np.asarray(len1), np.asarray(len2))
+
+
+def test_fused_bf16_matches_reference():
+    """bf16 weights: kernel outputs follow the weight dtype and match
+    the jnp path's per-matmul rounding exactly."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(1)
+    B, D, W = 16, 24, 16
+    cast = lambda a: jnp.asarray(a, jnp.float32).astype(jnp.bfloat16)
+    x = cast(rng.normal(0, 1, (B, D)))
+    h = cast(rng.normal(0, 1, (B, W)))
+    c = cast(rng.normal(0, 1, (B, W)))
+    w = {'kernel': cast(rng.normal(0, 0.5, (D, 4 * W))),
+         'recurrent_kernel': cast(rng.normal(0, 0.5, (W, 4 * W))),
+         'bias': cast(rng.normal(0, 0.5, (4 * W,)))}
+    h_ref, c_ref = lstm.lstm_step(x, h, c, w)
+    assert h_ref.dtype == jnp.bfloat16
+    interpret = jax.default_backend() != 'tpu'
+    h_k, c_k = lstm_step_fused(x, h, c, w['kernel'],
+                               w['recurrent_kernel'], w['bias'],
+                               block_b=64, interpret=interpret)
+    assert h_k.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(h_ref, np.float32), np.asarray(h_k, np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(c_ref, np.float32), np.asarray(c_k, np.float32))
