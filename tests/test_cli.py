@@ -94,6 +94,18 @@ def test_proc_cli_mesh(model_file, tmp_path):
         (tmp_path / 'lines.cor1.txt').read_text()
 
 
+def test_proc_cli_compute_bf16(model_file, tmp_path):
+    from cor_asv_ann_tpu.scripts.proc import cli
+    data = tmp_path / 'lines.txt'
+    data.write_text("abba dig\n")
+    runner = CliRunner()
+    result = runner.invoke(cli, ['-m', model_file, '-f',
+                                 '--compute', 'bfloat16',
+                                 '-s', '.cor.txt', str(data)])
+    assert result.exit_code == 0, result.output
+    assert (tmp_path / 'lines.cor.txt').exists()
+
+
 def test_eval_cli(model_file, tmp_path):
     from cor_asv_ann_tpu.scripts.eval import cli
     data = tmp_path / 'pairs.tsv'
