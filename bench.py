@@ -55,7 +55,12 @@ def bench_tpu(params, config, mapping, enc, repeats=20):
     iteration's input depends on the previous iteration's output, so an
     asynchronous or memoizing transport cannot elide executions — and a
     single host fetch at the end is the sync point, amortizing the
-    transport round trip over all repeats.
+    transport round trip over all repeats. A short throwaway chained
+    loop runs before the measured one: the chaining expression itself
+    (`e + out*0`) is a handful of tiny XLA programs that compile lazily
+    on first use — seconds on the remote transport, which would
+    otherwise be billed to the measured loop (caused 6-7x
+    under-reporting before this warm-up was added).
     """
     import jax
     import jax.numpy as jnp
@@ -66,6 +71,11 @@ def bench_tpu(params, config, mapping, enc, repeats=20):
     enc = jax.device_put(enc)
     out = decode_greedy(params, config, enc, newline)
     np.asarray(out[2])  # compile + pipeline warm-up, fetch = full sync
+    e = enc
+    for _ in range(2):  # throwaway: compiles the chain ops
+        out = decode_greedy(params, config, e, newline)
+        e = e + (out[3][0] * 0).astype(e.dtype)
+    np.asarray(out[2])
     t0 = time.perf_counter()
     e = enc
     for _ in range(repeats):

@@ -26,9 +26,19 @@ from cor_asv_ann_tpu.models import seq2seq               # noqa: E402
 
 
 def timeit(fn, enc, n=10):
-    """Chained timing: n dependent iterations, one final fetch."""
+    """Chained timing: n dependent iterations, one final fetch.
+
+    A throwaway chained loop runs first: the chain ops (`e + leaf*0`)
+    compile lazily on first use, which costs seconds on the remote
+    transport and would otherwise be billed to the measured loop."""
     out = fn(enc)
     np.asarray(jax.tree_util.tree_leaves(out)[0])  # warm + sync
+    e = enc
+    for _ in range(2):  # throwaway: compiles the chain ops
+        out = fn(e)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        e = e + (leaf.reshape(-1)[0] * 0).astype(e.dtype)
+    np.asarray(jax.tree_util.tree_leaves(out)[0])
     t0 = time.perf_counter()
     e = enc
     for _ in range(n):
