@@ -282,7 +282,9 @@ class Sequence2Sequence:
         return out_lines, out_probs, out_scores, out_aligns
 
     def use_mesh(self, mesh=None, n_devices=None):
-        """Enable multi-chip SPMD serving over a ('data', 'model') mesh.
+        """Enable multi-chip SPMD execution over a ('data', 'model') mesh
+        — both serving and training (`train()` shards batches over 'data'
+        for data-parallel gradients).
 
         Batches are sharded over 'data' (pure data parallelism — decoding
         scales in lines) and the wide parameter matrices over 'model'

@@ -231,7 +231,12 @@ def train_model(s2s, filenames, val_filenames=None, checkpoint_dir='.',
     """Full training orchestration for a Sequence2Sequence instance
     (reference seq2seq.py:590-649). With `resume=True`, continue from the
     train_state.pkl in `checkpoint_dir` (params, optimizer moments,
-    epoch counter and validation split are all restored)."""
+    epoch counter and validation split are all restored).
+
+    When `s2s.mesh` is set (`use_mesh()`), training runs SPMD over the
+    ('data', 'model') mesh: batches sharded over 'data' (data-parallel
+    gradients — XLA GSPMD inserts the psum), wide parameter matrices
+    over 'model'; optimizer state inherits the parameter shardings."""
     logger = s2s.logger
     num_lines = s2s.map_files(filenames)
     logger.info('Training on %d files with %d lines', len(filenames),
@@ -253,6 +258,19 @@ def train_model(s2s, filenames, val_filenames=None, checkpoint_dir='.',
     else:
         raise ValueError('unknown train_compute %r (use float32 or '
                          'bfloat16)' % (train_compute,))
+    mesh = getattr(s2s, 'mesh', None)
+    if mesh is not None:
+        from ..parallel.mesh import shard_params, shard_batch
+        params = shard_params(params, mesh)
+        logger.info('training over mesh %s', dict(mesh.shape))
+
+        def to_device(arrays):
+            if arrays[0].shape[0] % mesh.shape['data'] == 0:
+                return shard_batch(arrays, mesh)
+            return arrays
+    else:
+        def to_device(arrays):
+            return arrays
     optimizer = make_optimizer(getattr(s2s, 'learning_rate', 1e-3))
     opt_state = optimizer.init(params)
     frozen = getattr(s2s, 'frozen_layers', None)
@@ -275,6 +293,12 @@ def train_model(s2s, filenames, val_filenames=None, checkpoint_dir='.',
         if state is not None:
             params = state['params']
             opt_state = state['opt_state']
+            if mesh is not None:
+                # re-place the restored parameters on the mesh; the
+                # optimizer state follows from the first step's output
+                # shardings (GSPMD reshards its inputs as needed)
+                from ..parallel.mesh import shard_params
+                params = shard_params(params, mesh)
             best_loss = state['best_loss']
             best_params = state['best_params']
             start_epoch = state['epoch'] + 1
@@ -310,7 +334,10 @@ def train_model(s2s, filenames, val_filenames=None, checkpoint_dir='.',
                         dec_in = _scheduled_sample(
                             params_ref[0], config, s2s.mapping, enc,
                             dec_in, ratio, newline)
-                    yield _degrade_encoder(enc), dec_in, dec_out, w
+                    # device placement on the prefetch thread overlaps
+                    # the host->device transfer with the train step
+                    yield to_device((_degrade_encoder(enc), dec_in,
+                                     dec_out, w))
 
             from ..utils.prefetch import prefetch
             with prefetch(batch_iter()) as feed:
@@ -338,9 +365,9 @@ def train_model(s2s, filenames, val_filenames=None, checkpoint_dir='.',
                 if batch is None:
                     break
                 sources, confs, targets, _ = batch
-                enc, dec_in, dec_out, w = vectorize_lines(
+                enc, dec_in, dec_out, w = to_device(vectorize_lines(
                     s2s.mapping, sources, targets, confs=confs,
-                    logger=logger)
+                    logger=logger))
                 val_losses.append(float(eval_step(
                     params, config, enc, dec_in, dec_out, w,
                     lm_loss=s2s.lm_loss)))

@@ -33,13 +33,16 @@ CONTEXT_SETTINGS = dict(help_option_names=['-h', '--help'])
               type=click.Choice(['float32', 'bfloat16']),
               help='training compute dtype (bfloat16: ~2x step throughput '
                    'via mixed precision, float32 masters)')
+@click.option('--mesh', 'mesh_devices', default=0, type=int,
+              help='train SPMD over a multi-chip (data, model) mesh: '
+                   'number of devices, or -1 for all visible devices')
 @click.option('-v', '--valdata', multiple=True,
               type=click.Path(dir_okay=False, exists=True),
               help='file to use for validation (instead of random split)')
 @click.argument('data', nargs=-1, type=click.Path(dir_okay=False,
                                                   exists=True))
 def cli(save_model, load_model, init_model, reset_encoder, resume, width,
-        depth, compute, valdata, data):
+        depth, compute, mesh_devices, valdata, data):
     """Train a correction model on GT files.
 
     Configure a sequence-to-sequence model with the given parameters.
@@ -105,6 +108,11 @@ def cli(save_model, load_model, init_model, reset_encoder, resume, width,
                                                             'little'))
         s2s.params['encoder'] = fresh['encoder']
         s2s.params['attention_dense'] = fresh['attention_dense']
+
+    if mesh_devices:
+        mesh = s2s.use_mesh(
+            n_devices=None if mesh_devices < 0 else mesh_devices)
+        logging.info('training over mesh %s', dict(mesh.shape))
 
     s2s.train(list(data), list(valdata) or None, resume=resume)
     if s2s.status > 1:

@@ -80,3 +80,26 @@ def test_api_use_mesh_serving():
     beam_base, _, _, _ = s2s.correct_lines(lines, fast=False,
                                            greedy=False)
     assert beam_out == beam_base
+
+
+def test_api_mesh_training(tmp_path):
+    """train() over a mesh: batches dp-sharded, params tp-sharded; the
+    loop runs end-to-end and produces a trained, saveable model. Works
+    on a 1-device mesh too (degenerate but exercises the same path)."""
+    from cor_asv_ann_tpu.models.api import Sequence2Sequence
+
+    data = tmp_path / 'train.tsv'
+    pairs = [("abba dig.", "abba dig."), ("chef gad.", "chef gad."),
+             ("hi fi.", "hi fi."), ("dig dag.", "dig dag.")] * 8
+    data.write_text(''.join('%s\t%s\n' % p for p in pairs))
+    s2s = Sequence2Sequence()
+    s2s.width, s2s.depth, s2s.batch_size, s2s.epochs = 8, 2, 8, 2
+    s2s.configure()
+    s2s.use_mesh()
+    history = s2s.train([str(data)], checkpoint_dir=str(tmp_path))
+    assert s2s.status == 2
+    assert len(history['loss']) >= 1
+    assert np.isfinite(history['loss'][-1])
+    out = tmp_path / 'mesh-model.h5'
+    s2s.save(str(out))
+    assert out.exists()
