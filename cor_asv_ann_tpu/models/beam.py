@@ -397,15 +397,16 @@ def decode_beam(params, config: Seq2SeqConfig, bp: BeamParams, enc_input,
         par_probs = ta(probs_adj, par_k)              # (B, R, V)
         par_cidx = ta(cand_idx, par_k)                # (B, R, CC)
         par_valid = ta(valid, par_k)                  # (B, R, CC)
-        zero_mask = jnp.zeros((B, R, V), bool)
-        for c in range(C + 1):
-            # zero only previously *admitted* maxima (the reference zeroes
-            # the candidates it actually enqueued, seq2seq.py:1515-1520)
-            oh = jax.nn.one_hot(par_cidx[..., c], V,
-                                dtype=jnp.float32) > 0
-            zero_mask = zero_mask | (
-                oh & ((c < rank) & par_valid[..., c])[..., None])
-        cand_feedback = jnp.where(zero_mask, 0.0, par_probs)
+        # zero only previously *admitted* maxima (the reference zeroes
+        # the candidates it actually enqueued, seq2seq.py:1515-1520):
+        # one scatter-multiply over the CC candidate slots instead of CC
+        # full passes over (B, R, V)
+        zero_c = ((jnp.arange(CC)[None, None, :] < rank[..., None])
+                  & par_valid)                        # (B, R, CC)
+        cand_feedback = par_probs.at[
+            jnp.arange(B)[:, None, None], jnp.arange(R)[None, :, None],
+            par_cidx].multiply(
+                jnp.where(zero_c, 0.0, 1.0).astype(par_probs.dtype))
         new_feedback = jnp.where(is_old[..., None],
                                  ta(s['feedback'], old_ix),
                                  cand_feedback)
