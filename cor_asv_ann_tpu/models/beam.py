@@ -80,6 +80,20 @@ def _gather_rows(x, ix):
     return x[jnp.arange(B)[:, None, None], ix]
 
 
+def _sel_rows(ix, src, n):
+    """Select rows src[b, ix[b, k]] -> (B, K, D) as a one-hot matmul.
+
+    XLA's row gather runs far slower per byte than streaming reads on
+    TPU; a (B, K, n) one-hot times (B, n, D) batched matmul streams both
+    operands through the MXU instead. Bit-exact: exactly one unit term
+    contributes to each output row (value * 1.0 accumulated in float32
+    round-trips any float dtype unchanged)."""
+    oh = jax.nn.one_hot(ix, n, dtype=src.dtype)
+    out = jnp.einsum('bks,bsd->bkd', oh, src,
+                     preferred_element_type=jnp.float32)
+    return out.astype(src.dtype)
+
+
 def beam_decoder_step(params, config, feedback, layer_states, aw, astart,
                       attended, u, with_lm=False, src_lengths=None):
     """One decoder step over (B, K) hypotheses with windowed attention.
@@ -212,15 +226,24 @@ def decode_beam(params, config: Seq2SeqConfig, bp: BeamParams, enc_input,
              ).astype(jnp.float32),
         nchars=jnp.zeros((B, R), jnp.int32),
         was_rej=jnp.zeros((B, R), bool),
-        seq=jnp.zeros((B, R, S), jnp.int32),
-        seq_p=jnp.zeros((B, R, S), attended.dtype),
-        seq_ap=jnp.zeros((B, R, S), jnp.int32),
+        # backpointer trie: hypothesis texts are NOT carried per slot
+        # (that would re-gather (B,R,S) buffers every iteration); instead
+        # each iteration records, per post-merge slot, its parent slot in
+        # the previous iteration's numbering and the char it appended
+        # (-1 for carried-over unexpanded slots). Final texts are rebuilt
+        # by one reverse scan after the loop (standard beam backtrace).
+        rec_char=jnp.full((B, S, R), -1, jnp.int32),
+        rec_p=jnp.zeros((B, S, R), attended.dtype),
+        rec_ap=jnp.zeros((B, S, R), jnp.int32),
+        rec_parent=jnp.zeros((B, S, R), jnp.int32),
         bank_cost=jnp.full((B, F), INF, jnp.float32),
         bank_cum=jnp.full((B, F), INF, jnp.float32),
         bank_len=jnp.zeros((B, F), jnp.int32),
-        bank_seq=jnp.zeros((B, F, S), jnp.int32),
-        bank_seq_p=jnp.zeros((B, F, S), attended.dtype),
-        bank_ap=jnp.zeros((B, F, S), jnp.int32),
+        bank_t=jnp.zeros((B, F), jnp.int32),
+        bank_parent=jnp.zeros((B, F), jnp.int32),
+        bank_char=jnp.zeros((B, F), jnp.int32),
+        bank_p=jnp.zeros((B, F), attended.dtype),
+        bank_apc=jnp.zeros((B, F), jnp.int32),
         done=~line_live,
     )
 
@@ -236,8 +259,8 @@ def decode_beam(params, config: Seq2SeqConfig, bp: BeamParams, enc_input,
         exp_pro = -neg
         exp_ok = jnp.isfinite(exp_pro) & ~s['done'][:, None]
 
-        def g(x):
-            return ta(x, exp_ix)
+        def g(x):  # wide float rows: select on the MXU (see _sel_rows)
+            return _sel_rows(exp_ix, x, R)
 
         e_cum = jnp.take_along_axis(s['cum'], exp_ix, axis=1)
         e_nchars = jnp.take_along_axis(s['nchars'], exp_ix, axis=1)
@@ -246,9 +269,6 @@ def decode_beam(params, config: Seq2SeqConfig, bp: BeamParams, enc_input,
         e_astart = jnp.take_along_axis(s['astart'], exp_ix, axis=1)
         e_feedback = g(s['feedback'])
         e_h = tuple((g(h), g(c)) for h, c in s['h'])
-        e_seq = g(s['seq'])
-        e_seq_p = g(s['seq_p'])
-        e_seq_ap = g(s['seq_ap'])
 
         # --- decoder step for the expansion set -----------------------
         step_out = beam_decoder_step(
@@ -355,11 +375,13 @@ def decode_beam(params, config: Seq2SeqConfig, bp: BeamParams, enc_input,
             is_old, jnp.take_along_axis(s['was_rej'], old_ix, axis=1),
             cand_of(is_rej))
 
+        # reservoir merge for wide float state: select from the stacked
+        # (B, R+K, D) sources with one one-hot matmul per tensor
+        merge_ix = jnp.where(is_old, old_ix, R + par_k)       # (B, R)
+
         def merge(old, new_k):
-            from_old = ta(old, old_ix)
-            from_new = ta(new_k, par_k)
-            m = is_old.reshape((B, R) + (1,) * (old.ndim - 2))
-            return jnp.where(m, from_old, from_new)
+            src = jnp.concatenate([old, new_k], axis=1)       # (B, R+K, D)
+            return _sel_rows(merge_ix, src, R + K)
 
         # alignment state: rejection candidates get a one-hot marker at
         # src_pos (window start = src_pos, weight 1 at offset 0)
@@ -378,23 +400,21 @@ def decode_beam(params, config: Seq2SeqConfig, bp: BeamParams, enc_input,
         new_h = tuple((merge(s['h'][l][0], n_h[l][0]),
                        merge(s['h'][l][1], n_h[l][1]))
                       for l in range(len(n_h)))
-        write_pos = jnp.where(is_old, 0, cand_of(
-            jnp.broadcast_to(e_nchars[..., None], cand_idx.shape)))
-        new_char = cand_of(cand_idx)
-        new_p = cand_of(cand_p)
-        new_ctr = cand_of(c_center)
-        onehot_pos = jax.nn.one_hot(write_pos, S, dtype=bool) \
-            & ~is_old[..., None]
-        new_seq = jnp.where(onehot_pos, new_char[..., None],
-                            merge(s['seq'], e_seq))
-        new_seq_p = jnp.where(onehot_pos, new_p[..., None],
-                              merge(s['seq_p'], e_seq_p))
-        new_seq_ap = jnp.where(onehot_pos, new_ctr[..., None],
-                               merge(s['seq_ap'], e_seq_ap))
+        # trie records for this iteration's post-merge slots: parent in
+        # previous-iteration numbering; char/p/center only for new nodes
+        par_slot = jnp.take_along_axis(exp_ix, par_k, axis=1)   # (B, R)
+        rec_parent = s['rec_parent'].at[:, t, :].set(
+            jnp.where(is_old, old_ix, par_slot))
+        rec_char = s['rec_char'].at[:, t, :].set(
+            jnp.where(is_old, -1, cand_of(cand_idx)))
+        rec_p = s['rec_p'].at[:, t, :].set(
+            jnp.where(is_old, 0, cand_of(cand_p)))
+        rec_ap = s['rec_ap'].at[:, t, :].set(
+            jnp.where(is_old, 0, cand_of(c_center)))
 
         # feedback for new nodes: parent boosted probs with better-ranked
         # candidate maxima zeroed (seq2seq.py:1515-1520)
-        par_probs = ta(probs_adj, par_k)              # (B, R, V)
+        par_probs = _sel_rows(par_k, probs_adj, K)    # (B, R, V)
         par_cidx = ta(cand_idx, par_k)                # (B, R, CC)
         par_valid = ta(valid, par_k)                  # (B, R, CC)
         # zero only previously *admitted* maxima (the reference zeroes
@@ -408,7 +428,7 @@ def decode_beam(params, config: Seq2SeqConfig, bp: BeamParams, enc_input,
             par_cidx].multiply(
                 jnp.where(zero_c, 0.0, 1.0).astype(par_probs.dtype))
         new_feedback = jnp.where(is_old[..., None],
-                                 ta(s['feedback'], old_ix),
+                                 _sel_rows(old_ix, s['feedback'], R),
                                  cand_feedback)
 
         # --- route finished candidates into the bank ------------------
@@ -423,27 +443,25 @@ def decode_beam(params, config: Seq2SeqConfig, bp: BeamParams, enc_input,
         bcand = lambda x: jnp.take_along_axis(x.reshape(B, K * CC), bj,
                                               axis=1)
 
-        def bmerge(old, new_k, write_val):
-            from_old = ta(old, b_oix)
-            from_new = ta(new_k, b_par)
-            pos = bcand(jnp.broadcast_to(e_nchars[..., None],
-                                         cand_idx.shape))
-            oh = jax.nn.one_hot(pos, S, dtype=bool)
-            from_new = jnp.where(oh, write_val[..., None], from_new)
-            m = b_old.reshape((B, F) + (1,) * (old.ndim - 2))
-            return jnp.where(m, from_old, from_new)
+        def bfield(old, new):
+            return jnp.where(b_old,
+                             jnp.take_along_axis(old, b_oix, axis=1), new)
 
         new_bank = dict(
             bank_cost=nb_cost,
-            bank_cum=jnp.where(
-                b_old, jnp.take_along_axis(s['bank_cum'], b_oix, axis=1),
-                bcand(c_cum)),
-            bank_len=jnp.where(
-                b_old, jnp.take_along_axis(s['bank_len'], b_oix, axis=1),
-                bcand(jnp.broadcast_to(c_nchars, cand_idx.shape))),
-            bank_seq=bmerge(s['bank_seq'], e_seq, bcand(cand_idx)),
-            bank_seq_p=bmerge(s['bank_seq_p'], e_seq_p, bcand(cand_p)),
-            bank_ap=bmerge(s['bank_ap'], e_seq_ap, bcand(c_center)),
+            bank_cum=bfield(s['bank_cum'], bcand(c_cum)),
+            bank_len=bfield(s['bank_len'],
+                            bcand(jnp.broadcast_to(c_nchars,
+                                                   cand_idx.shape))),
+            # finished hypotheses store only their last step: iteration,
+            # parent slot (previous-iteration numbering), final char —
+            # their text is rebuilt by the backtrace after the loop
+            bank_t=bfield(s['bank_t'], jnp.broadcast_to(t, (B, F))),
+            bank_parent=bfield(s['bank_parent'],
+                               jnp.take_along_axis(exp_ix, b_par, axis=1)),
+            bank_char=bfield(s['bank_char'], bcand(cand_idx)),
+            bank_p=bfield(s['bank_p'], bcand(cand_p)),
+            bank_apc=bfield(s['bank_apc'], bcand(c_center)),
         )
 
         # --- termination ----------------------------------------------
@@ -456,15 +474,61 @@ def decode_beam(params, config: Seq2SeqConfig, bp: BeamParams, enc_input,
 
         return dict(t=t + 1, h=new_h, aw=new_aw, astart=new_astart,
                     feedback=new_feedback, cum=new_cum, pro=new_pro,
-                    nchars=new_nchars, was_rej=new_wasrej, seq=new_seq,
-                    seq_p=new_seq_p, seq_ap=new_seq_ap, done=done,
-                    **new_bank)
+                    nchars=new_nchars, was_rej=new_wasrej, done=done,
+                    rec_parent=rec_parent, rec_char=rec_char, rec_p=rec_p,
+                    rec_ap=rec_ap, **new_bank)
 
     def cond(s):
         return (s['t'] < S) & ~jnp.all(s['done'])
 
     s = jax.lax.while_loop(cond, body, state0)
     count = jnp.sum(jnp.isfinite(s['bank_cost']), axis=1)
-    return dict(idx=s['bank_seq'], prob=s['bank_seq_p'],
+
+    # --- backtrace: rebuild the banked texts from the trie -------------
+    # each bank entry holds (t, parent slot, final char); walk the
+    # per-iteration (parent, char) records backwards, emitting chars
+    # right-to-left (one reverse lax.scan, (B, F) gathers per step)
+    valid = jnp.isfinite(s['bank_cost'])
+    fin_len = s['bank_len']
+    bix = jnp.arange(B)[:, None]
+    fix = jnp.arange(F)[None, :]
+    last = jnp.maximum(fin_len - 1, 0)
+    last_w = jnp.where(valid, last, S)  # out-of-bounds drops the write
+    idx0 = jnp.zeros((B, F, S), jnp.int32
+                     ).at[bix, fix, last_w].set(s['bank_char'],
+                                                mode='drop')
+    prob0 = jnp.zeros((B, F, S), attended.dtype
+                      ).at[bix, fix, last_w].set(s['bank_p'], mode='drop')
+    ap0 = jnp.zeros((B, F, S), jnp.int32
+                    ).at[bix, fix, last_w].set(s['bank_apc'], mode='drop')
+
+    def walk(carry, tt):
+        pos, outpos, idx, prob, ap = carry
+        rc = jnp.take_along_axis(
+            jax.lax.dynamic_index_in_dim(s['rec_char'], tt, 1, False),
+            pos, axis=1)                                       # (B, F)
+        rp = jnp.take_along_axis(
+            jax.lax.dynamic_index_in_dim(s['rec_p'], tt, 1, False),
+            pos, axis=1)
+        ra = jnp.take_along_axis(
+            jax.lax.dynamic_index_in_dim(s['rec_ap'], tt, 1, False),
+            pos, axis=1)
+        rpar = jnp.take_along_axis(
+            jax.lax.dynamic_index_in_dim(s['rec_parent'], tt, 1, False),
+            pos, axis=1)
+        active = valid & (tt < s['bank_t'])
+        emit = active & (rc >= 0) & (outpos >= 0)
+        wpos = jnp.where(emit, outpos, S)
+        idx = idx.at[bix, fix, wpos].set(rc, mode='drop')
+        prob = prob.at[bix, fix, wpos].set(rp, mode='drop')
+        ap = ap.at[bix, fix, wpos].set(ra, mode='drop')
+        outpos = outpos - emit.astype(jnp.int32)
+        pos = jnp.where(active, rpar, pos)
+        return (pos, outpos, idx, prob, ap), None
+
+    carry0 = (s['bank_parent'], fin_len - 2, idx0, prob0, ap0)
+    (pos, outpos, idx, prob, ap), _ = jax.lax.scan(
+        walk, carry0, jnp.arange(S - 1, -1, -1))
+    return dict(idx=idx, prob=prob,
                 length=s['bank_len'], cost=s['bank_cost'],
-                cum=s['bank_cum'], count=count, align_pos=s['bank_ap'])
+                cum=s['bank_cum'], count=count, align_pos=ap)
