@@ -31,6 +31,11 @@ from .config import Seq2SeqConfig
 # dense fallback beyond that
 SHARED_WINDOW = 32
 
+# unroll factor for the teacher-forced top-decoder scan (amortizes
+# per-iteration loop overhead; the training step is latency-bound on
+# ~1000 sequential tiny-matmul scan steps)
+_TEACHER_UNROLL = 4
+
 
 def cross_sum(x):
     """Deep-bidirectional fw/bw cross-summary (seq2seq.py:246-259)."""
@@ -228,7 +233,8 @@ def _decode_teacher(params, config, dec_input, states, attended, u,
     # saves the (B, T, W) attention-energy tanh for every decoder step —
     # Td*B*T*W floats (8GB at B=256, T=Td=128, W=512), which OOMs the
     # chip; recomputing it costs a fraction of the backward matmul time
-    _, hs = jax.lax.scan(jax.checkpoint(body), (h0, c0, a0), xs)
+    _, hs = jax.lax.scan(jax.checkpoint(body), (h0, c0, a0), xs,
+                         unroll=_TEACHER_UNROLL)
     out2 = jnp.swapaxes(hs, 0, 1)
     if config.residual_connections and depth > 1:
         out = out2 + out

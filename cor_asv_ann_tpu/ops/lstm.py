@@ -14,6 +14,10 @@ element-wise gate math, which XLA fuses into a single loop step.
 import jax
 import jax.numpy as jnp
 
+# scan unroll factor: amortizes per-iteration loop overhead (the scans
+# are latency-bound: tiny per-step matmuls)
+_UNROLL = 4
+
 
 def gate_math(z, c_prev):
     """Apply Keras LSTM gate nonlinearities to preactivations z (..., 4N)."""
@@ -73,7 +77,8 @@ def lstm_scan(xs, w, h0=None, c0=None, reverse=False, mask=None):
             return (h, c), h
 
         zx_t = jnp.swapaxes(zx, 0, 1)  # (T, B, 4N) scan over time
-        (h, c), out = jax.lax.scan(body, (h, c), zx_t, reverse=reverse)
+        (h, c), out = jax.lax.scan(body, (h, c), zx_t, reverse=reverse,
+                               unroll=_UNROLL)
         return jnp.swapaxes(out, 0, 1), h, c
 
     def body(carry, inp):
@@ -89,5 +94,5 @@ def lstm_scan(xs, w, h0=None, c0=None, reverse=False, mask=None):
     zx_t = jnp.swapaxes(zx, 0, 1)
     mask_t = jnp.swapaxes(mask, 0, 1)
     (h, c), out = jax.lax.scan(body, (h, c), (zx_t, mask_t),
-                               reverse=reverse)
+                               reverse=reverse, unroll=_UNROLL)
     return jnp.swapaxes(out, 0, 1), h, c
