@@ -77,12 +77,12 @@ class BeamParams:
 def _gather_rows(x, ix):
     """x (B, T, D), ix (B, K, WIN) -> (B, K, WIN, D).
 
-    For short attended lengths the selection runs as a one-hot matmul
-    on the MXU (XLA row gathers are far slower per byte, measured 1.2x
-    on whole-beam decode at T=64); the matmul reads all T rows though,
-    so genuine row gathers take over for long lines where reading only
-    the WIN visible rows is the point (decode_greedy_windowed, T>=256).
-    Bit-exact either way."""
+    For short attended lengths (T <= 128) the selection runs as a
+    one-hot matmul on the MXU (XLA row gathers are far slower per byte;
+    measured 1.2x on whole-beam decode at T=64); the matmul reads all T
+    rows though, so genuine row gathers take over from T=129 up, where
+    reading only the WIN visible rows is the point (this is also the
+    regime of decode_greedy_windowed). Bit-exact either way."""
     B, T = x.shape[0], x.shape[1]
     if T <= 128:
         oh = jax.nn.one_hot(ix, T, dtype=x.dtype)    # (B, K, WIN, T)

@@ -260,14 +260,18 @@ def train_model(s2s, filenames, val_filenames=None, checkpoint_dir='.',
                          'bfloat16)' % (train_compute,))
     mesh = getattr(s2s, 'mesh', None)
     if mesh is not None:
-        from ..parallel.mesh import shard_params, shard_batch
+        from ..parallel.mesh import shard_params, shard_batch, replicated
+        import jax as _jax
         params = shard_params(params, mesh)
         logger.info('training over mesh %s', dict(mesh.shape))
 
         def to_device(arrays):
             if arrays[0].shape[0] % mesh.shape['data'] == 0:
                 return shard_batch(arrays, mesh)
-            return arrays
+            # indivisible trailing batch: place replicated (same policy
+            # as serving, api.py:_place_batch)
+            return tuple(_jax.device_put(a, replicated(mesh))
+                         for a in arrays)
     else:
         def to_device(arrays):
             return arrays
@@ -297,7 +301,6 @@ def train_model(s2s, filenames, val_filenames=None, checkpoint_dir='.',
                 # re-place the restored parameters on the mesh; the
                 # optimizer state follows from the first step's output
                 # shardings (GSPMD reshards its inputs as needed)
-                from ..parallel.mesh import shard_params
                 params = shard_params(params, mesh)
             best_loss = state['best_loss']
             best_params = state['best_params']

@@ -59,6 +59,14 @@ def attention_step_shared(W_a, v_a, b_UW, b_v, h_prev, prev_a, attended, u,
     if T <= SW:
         return _attention_step(W_a, v_a, b_UW, b_v, h_prev, prev_a,
                                attended, u, window_width, mask)
+    if T > 256 and jnp.dtype(prev_a.dtype).itemsize < 4:
+        # in low precision the dense branch compares window positions on
+        # the bf16 integer grid, which is exact only up to 256; beyond
+        # that the two cond branches would disagree on visibility, so
+        # stay dense (such lengths use the windowed-gather decoder
+        # anyway, models/api.py:WINDOWED_DECODE_MIN_T)
+        return _attention_step(W_a, v_a, b_UW, b_v, h_prev, prev_a,
+                               attended, u, window_width, mask)
     ww = window_width
     steps = jnp.arange(T, dtype=prev_a.dtype)
     t0 = jnp.dot(prev_a, steps, preferred_element_type=jnp.float32) + 1.0

@@ -110,9 +110,8 @@ def cli(save_model, load_model, init_model, reset_encoder, resume, width,
         s2s.params['attention_dense'] = fresh['attention_dense']
 
     if mesh_devices:
-        mesh = s2s.use_mesh(
-            n_devices=None if mesh_devices < 0 else mesh_devices)
-        logging.info('training over mesh %s', dict(mesh.shape))
+        # train_model logs the mesh shape when it shards the params
+        s2s.use_mesh(n_devices=None if mesh_devices < 0 else mesh_devices)
 
     s2s.train(list(data), list(valdata) or None, resume=resume)
     if s2s.status > 1:
