@@ -23,7 +23,8 @@ import numpy as np
 
 from ..lib.alignment import Alignment, Edits, splitwords
 from ..utils import io_h5
-from ..utils.data import (CharMapping, GAP, gen_line_batches, scan_files,
+from ..utils.data import (CharMapping, GAP, gen_line_batches,
+                          lines_to_index_batch, scan_files,
                           vectorize_lines)
 from .beam import BeamParams, decode_beam
 from .config import Seq2SeqConfig, init_params
@@ -34,6 +35,19 @@ from .seq2seq import decode_greedy, decode_greedy_windowed
 # XLA's row gather is ~25x slower per byte, so the crossover sits at
 # T ~ 25x the 11-wide window — see NOTES.md "Performance map")
 WINDOWED_DECODE_MIN_T = 256
+
+
+def _pack_results(idx, prob, length, score):
+    """Concatenate the greedy-decode result arrays into one (B, 2S+2)
+    float32 buffer on device so the host fetches once instead of four
+    times (each fetch is a full transport round trip). Exact: the packed
+    values (char indices < V, probabilities, lengths <= S) are all well
+    inside float32's integer range."""
+    import jax.numpy as jnp
+    f32 = jnp.float32
+    return jnp.concatenate(
+        [idx.astype(f32), prob.astype(f32),
+         length[:, None].astype(f32), score[:, None].astype(f32)], axis=1)
 
 
 class Sequence2Sequence:
@@ -338,12 +352,21 @@ class Sequence2Sequence:
 
     def _correct_batch(self, lines, conf, greedy,
                        return_alignments=True):
-        enc, _, _, _ = vectorize_lines(
-            self.mapping, lines, ['' for _ in lines], confs=conf,
-            logger=self.logger)
+        if conf and any(conf):
+            # per-char confidences / confmats need the dense prob array
+            enc, _, _, _ = vectorize_lines(
+                self.mapping, lines, ['' for _ in lines], confs=conf,
+                logger=self.logger)
+            T = enc.shape[1]
+        else:
+            # plain text ships as a compact (B, T) index batch; the
+            # one-hot expansion happens on device (V times less host
+            # link traffic — seq2seq.py:ensure_onehot)
+            enc = lines_to_index_batch(self.mapping, lines,
+                                       logger=self.logger)
+            T = enc.shape[1]
         enc = self._place_batch(enc)
         newline = self.mapping.get('\n')
-        B, T, V = enc.shape
         params = self._infer_params()
         if greedy:
             decode = (decode_greedy_windowed
@@ -351,10 +374,15 @@ class Sequence2Sequence:
             idx, prob, length, score, aligns = decode(
                 params, self.config, enc, newline,
                 return_alignments=return_alignments)
-            idx = np.asarray(idx)
-            prob = np.asarray(prob)
-            length = np.asarray(length)
-            score = np.asarray(score)
+            # pack the four result arrays into one device buffer and
+            # fetch once: each separate fetch pays a full transport
+            # round trip (~30 ms on the tunneled TPU)
+            packed = np.asarray(_pack_results(idx, prob, length, score))
+            S = idx.shape[1]
+            idx = packed[:, :S].astype(np.int32)
+            prob = packed[:, S:2 * S]
+            length = packed[:, 2 * S].astype(np.int32)
+            score = packed[:, 2 * S + 1]
             if return_alignments:
                 aligns = np.asarray(aligns)
             out_lines, out_probs, out_scores, out_aligns = [], [], [], []
@@ -374,7 +402,25 @@ class Sequence2Sequence:
             np.int32)
         out = decode_beam(params, self.config, self._beam_params(),
                           enc, newline, src_len)
-        out = {k: np.asarray(v) for k, v in out.items()}
+        # pack into two device buffers -> two host fetches instead of
+        # seven (each fetch is a transport round trip)
+        import jax.numpy as jnp
+        f32 = jnp.float32
+        big = np.asarray(jnp.concatenate(
+            [out['idx'].astype(f32), out['prob'].astype(f32),
+             out['align_pos'].astype(f32)], axis=2))
+        small = np.asarray(jnp.concatenate(
+            [out['length'].astype(f32), out['cost'].astype(f32),
+             out['cum'].astype(f32),
+             out['count'][:, None].astype(f32)], axis=1))
+        S = out['idx'].shape[2]
+        F = out['length'].shape[1]
+        out = dict(idx=big[:, :, :S].astype(np.int32),
+                   prob=big[:, :, S:2 * S],
+                   align_pos=big[:, :, 2 * S:].astype(np.int32),
+                   length=small[:, :F].astype(np.int32),
+                   cost=small[:, F:2 * F], cum=small[:, 2 * F:3 * F],
+                   count=small[:, 3 * F].astype(np.int32))
         out_lines, out_probs, out_scores, out_aligns = [], [], [], []
         for j, input_line in enumerate(lines):
             if not input_line:

@@ -204,6 +204,8 @@ def decode_beam(params, config: Seq2SeqConfig, bp: BeamParams, enc_input,
     (B,F), 'cost' (B,F) prospective cost, 'cum' (B,F) cumulative -log p,
     'count' (B,), and per-step alignment centers 'align_pos' (B,F,S).
     """
+    from .seq2seq import ensure_onehot
+    enc_input = ensure_onehot(enc_input, config, params)
     B, T, V = enc_input.shape
     R, K, F = bp.reservoir, bp.expand, bp.beam_width_out
     C = min(bp.beam_width_in, V - 1)  # cannot admit more than the vocab

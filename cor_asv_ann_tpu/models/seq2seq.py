@@ -44,6 +44,22 @@ def cross_sum(x):
     return x + y.reshape(shape)
 
 
+def ensure_onehot(enc_input, config, params):
+    """Expand a compact (B, T) int32 index batch to (B, T, V) one-hot on
+    device; (B, T, V) inputs pass through unchanged.
+
+    Index -1 (padding) one-hots to the zero row, matching the host
+    vectorizer's padding semantics (utils/data.py:lines_to_index_batch).
+    Shipping indices instead of one-hot floats cuts host->device batch
+    transfer by a factor of V (the dominant serving cost on slow links);
+    the expansion values are bit-identical to the host one-hot.
+    """
+    if enc_input.ndim == 2:
+        dt = params['char_embedding']['kernel'].dtype
+        return jax.nn.one_hot(enc_input, config.voc_size, dtype=dt)
+    return enc_input
+
+
 def encode(params, config: Seq2SeqConfig, enc_input, dropout_rng=None,
            train=False):
     """Run the encoder over (B, T, V) input.
@@ -264,6 +280,7 @@ def decode_greedy(params, config: Seq2SeqConfig, enc_input,
     Returns (indices (B,S) int32, probs (B,S), lengths (B,), scores (B,),
     alignments (B,S,T) or None).
     """
+    enc_input = ensure_onehot(enc_input, config, params)
     B, T, V = enc_input.shape
     S = max_steps or 2 * T
     attended, states, u = encode(params, config, enc_input)
@@ -339,6 +356,7 @@ def decode_greedy_windowed(params, config: Seq2SeqConfig, enc_input,
     alignments (B,S,T) or None).
     """
     from .beam import beam_decoder_step
+    enc_input = ensure_onehot(enc_input, config, params)
     B, T, V = enc_input.shape
     S = max_steps or 2 * T
     WIN = min(2 * config.window_width + 2, T)

@@ -336,3 +336,31 @@ def vectorize_lines(mapping, sources, targets, confs=None,
     weights = np.ones(dec_out.shape[:2], dtype=np.float32)
     weights[np.all(dec_out == 0, axis=2)] = 0.0
     return enc, dec_in, dec_out, weights
+
+
+def lines_to_index_batch(mapping, lines, pad_to=None, bucketed=True,
+                         logger=None):
+    """Encode plain-text lines as a (B, T) int32 index batch, -1 = padding.
+
+    The compact host->device form of `vectorize_lines`' encoder input for
+    inputs without per-character confidences: the (B, T, V) one-hot
+    expansion happens on device (models/seq2seq.py:ensure_onehot), so a
+    batch ships V times less data over the host link. Index semantics
+    match vectorize_lines exactly: unmapped characters (except GAP) log
+    an error and map to 0 (underspecification); -1 rows one-hot to zero
+    vectors (padding, like the reference's zero rows, seq2seq.py:1026).
+    """
+    max_len = max(max((len(l) for l in lines), default=1), 1)
+    if pad_to is None:
+        pad_to = bucket_length(max_len) if bucketed else max_len
+    assert pad_to >= max_len
+    out = np.full((len(lines), pad_to), -1, np.int32)
+    for i, line in enumerate(lines):
+        idx = mapping.encode(line)
+        if logger is not None and (idx == 0).any():
+            for k in np.nonzero(idx == 0)[0]:
+                if line[k] != GAP:
+                    logger.error('unmapped character "%s" at encoder '
+                                 'input sequence %d', line[k], i)
+        out[i, :len(idx)] = idx
+    return out
