@@ -170,7 +170,12 @@ def forward_teacher(params, config: Seq2SeqConfig, enc_input, dec_input,
     Returns probs (B, Td, V); with `lm`, a second unconditioned pass with
     tied weights on zeroed attention constants (reference lm_loss,
     seq2seq.py:321-322, 340-341, 355-356) returns (probs, lm_probs).
+
+    Both inputs may be compact (B, T) int32 index batches (-1 = zero
+    row); they expand to one-hot on device (ensure_onehot).
     """
+    enc_input = ensure_onehot(enc_input, config, params)
+    dec_input = ensure_onehot(dec_input, config, params)
     attended, states, u = encode(params, config, enc_input, dropout_rng,
                                  train)
     enc_mask = (jnp.any(enc_input != 0, axis=2)

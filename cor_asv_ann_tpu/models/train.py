@@ -39,7 +39,8 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..utils.data import gen_line_batches, vectorize_lines
+from ..utils.data import (gen_line_batches, vectorize_lines,
+                          vectorize_lines_indices)
 from .seq2seq import forward_teacher, decode_greedy
 
 
@@ -76,9 +77,19 @@ def embedding_regularizer(kernel):
 
 
 def weighted_xent(probs, targets, weights):
-    """Keras categorical crossentropy with temporal sample weights."""
+    """Keras categorical crossentropy with temporal sample weights.
+
+    `targets` may be dense one-hot (B, T, V) or compact indices (B, T)
+    with -1 at padding (zero weight there anyway); the index form
+    computes the identical -log p of the target character."""
     eps = 1e-7
-    ll = -jnp.sum(targets * jnp.log(jnp.clip(probs, eps, 1.0)), axis=-1)
+    logp = jnp.log(jnp.clip(probs, eps, 1.0))
+    if targets.ndim == 2:
+        ll = -jnp.take_along_axis(
+            logp, jnp.maximum(targets, 0)[..., None], axis=-1)[..., 0]
+        ll = ll * (targets >= 0)
+    else:
+        ll = -jnp.sum(targets * logp, axis=-1)
     denom = jnp.maximum(jnp.sum(weights != 0), 1)
     return jnp.sum(ll * weights) / denom
 
@@ -330,9 +341,8 @@ def train_model(s2s, filenames, val_filenames=None, checkpoint_dir='.',
                     if batch is None:
                         return
                     sources, confs, targets, _ = batch
-                    enc, dec_in, dec_out, w = vectorize_lines(
-                        s2s.mapping, sources, targets, confs=confs,
-                        logger=logger)
+                    enc, dec_in, dec_out, w = _vectorize(
+                        s2s.mapping, sources, targets, confs, logger)
                     if ratio > 0:
                         dec_in = _scheduled_sample(
                             params_ref[0], config, s2s.mapping, enc,
@@ -368,9 +378,8 @@ def train_model(s2s, filenames, val_filenames=None, checkpoint_dir='.',
                 if batch is None:
                     break
                 sources, confs, targets, _ = batch
-                enc, dec_in, dec_out, w = to_device(vectorize_lines(
-                    s2s.mapping, sources, targets, confs=confs,
-                    logger=logger))
+                enc, dec_in, dec_out, w = to_device(_vectorize(
+                    s2s.mapping, sources, targets, confs, logger))
                 val_losses.append(float(eval_step(
                     params, config, enc, dec_in, dec_out, w,
                     lm_loss=s2s.lm_loss)))
@@ -415,28 +424,50 @@ def train_model(s2s, filenames, val_filenames=None, checkpoint_dir='.',
     return history
 
 
+def _vectorize(mapping, sources, targets, confs, logger):
+    """Compact index batches for plain text (V times less host->device
+    traffic, utils/data.py:vectorize_lines_indices); dense probability
+    arrays when per-character confidences are present."""
+    if confs is not None and any(confs):
+        return vectorize_lines(mapping, sources, targets, confs=confs,
+                               logger=logger)
+    return vectorize_lines_indices(mapping, sources, targets,
+                                   logger=logger)
+
+
 def _degrade_encoder(enc):
-    """Zero ~1% of lines' one random position to index 0
-    (seq2seq.py:909-915)."""
-    B, T, V = enc.shape
+    """Underspecify ~1% of lines' one random position to index 0
+    (seq2seq.py:909-915); works on dense (B, T, V) or index (B, T)
+    batches."""
+    B, T = enc.shape[:2]
     u = np.random.uniform(0, 1, B)
     pos = (T * u / 0.01).astype(int)
     hit = pos < T
     enc = np.array(enc)
+    if enc.ndim == 2:
+        enc[np.arange(B)[hit], pos[hit]] = 0
+        return enc
+    V = enc.shape[2]
     enc[np.arange(B)[hit], pos[hit], :] = np.eye(V, dtype=enc.dtype)[0]
     return enc
 
 
 def _scheduled_sample(params, config, mapping, enc, dec_in, ratio, newline):
     """Replace a random subset of lines' teacher input with the greedy
-    decoder's own output, one-hot encoded and shifted right."""
-    B, Td, V = dec_in.shape
+    decoder's own output, one-hot encoded and shifted right; works on
+    dense (B, Td, V) or index (B, Td) teacher batches."""
+    B, Td = dec_in.shape[:2]
     pick = np.random.uniform(0, 1, B) < ratio
     if not pick.any():
         return dec_in
     idx, _, length, _, _ = decode_greedy(params, config, enc, newline,
                                          max_steps=Td - 1)
     idx = np.asarray(idx)[:, :Td - 1]
+    if dec_in.ndim == 2:
+        sampled = np.full_like(dec_in, -1)
+        sampled[:, 1:] = np.where(idx == 0, -1, idx)
+        return np.where(pick[:, None], sampled, dec_in)
+    V = dec_in.shape[2]
     sampled = np.zeros_like(dec_in)
     rows = np.repeat(np.arange(B), Td - 1)
     cols = np.tile(np.arange(1, Td), B)
