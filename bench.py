@@ -20,7 +20,11 @@ import time
 import numpy as np
 
 
+FLAGSHIP = 'testmodels/flagship.d2.w512.synthetic.h5'
+
+
 def build(width=512, depth=2, voc=96):
+    """Synthetic sharpened random model (used by tools/ experiments)."""
     from cor_asv_ann_tpu.models.config import Seq2SeqConfig, init_params
     from cor_asv_ann_tpu.utils.data import CharMapping
     chars = ''.join(chr(c) for c in range(32, 32 + voc - 2)) + '\n'
@@ -33,6 +37,20 @@ def build(width=512, depth=2, voc=96):
     return config, mapping, params
 
 
+def build_flagship():
+    """The bundled trained flagship model (d2/w512, the reference's
+    pretrained topology): decoding it early-terminates on newline like
+    real serving, unlike a random-weight model which always runs the
+    full 2T step cap."""
+    import os
+    from cor_asv_ann_tpu.utils import io_h5
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        FLAGSHIP)
+    config, mapping = io_h5.load_config(path)
+    params = io_h5.load_weights(path, config)
+    return config, mapping, params
+
+
 def make_lines(mapping, batch, length, pad):
     rng = np.random.default_rng(1)
     V = mapping.voc_size
@@ -41,6 +59,32 @@ def make_lines(mapping, batch, length, pad):
         idx = rng.integers(1, V - 1, length - 1)
         enc[b, np.arange(length - 1), idx] = 1.0
         enc[b, length - 1, mapping.get('\n')] = 1.0
+    return enc
+
+
+def make_flagship_lines(mapping, batch, min_len, pad):
+    """Noisy historical-OCR-style lines from the flagship's training
+    distribution (tests/test_quality.py generator), padded to `pad`."""
+    rng = np.random.default_rng(1)
+    words = ("der die das und ist ein eine mit von auf nicht sich auch "
+             "als wird nach bei aus durch über unter vor zwischen gegen "
+             "ohne Mensch Welt Leben Zeit Jahr Hand Tag Nacht Haus Land "
+             "Stadt Wasser Feuer Erde Licht Aufklärung Vernunft Freiheit "
+             "Wissen Schrift Buch Seite Wort Sprache Geschichte Natur "
+             "Wesen Geist").split()
+    noise = {'s': 'ſ', 'f': 'ſ', 't': 'l', 'e': 'c', 'n': 'u', 'u': 'n',
+             'r': 'x', 'i': 'j', 'h': 'b', 'ä': 'a'}
+    V = mapping.voc_size
+    enc = np.zeros((batch, pad, V), np.float32)
+    for b in range(batch):
+        text = ''
+        while len(text) < min_len:
+            text += words[rng.integers(len(words))] + ' '
+        text = ''.join(noise.get(ch, ch)
+                       if ch in noise and rng.random() < 0.12 else ch
+                       for ch in text.strip()[:pad - 1]) + '\n'
+        idx = mapping.encode(text)
+        enc[b, np.arange(len(idx)), idx] = 1.0
     return enc
 
 
@@ -82,14 +126,18 @@ def bench_tpu(params, config, mapping, enc, repeats=20):
         out = decode_greedy(params, config, e, newline)
         # 0-valued data dependency on this iteration's result
         e = e + (out[3][0] * 0).astype(e.dtype)
-    np.asarray(out[2])
+    lengths = np.asarray(out[2])
     dt = time.perf_counter() - t0
-    return repeats * enc.shape[0] / dt
+    # steps the while_loop actually ran (early exit when all lines hit
+    # newline — trained models terminate; the step cap is 2T)
+    steps = min(int(lengths.max()) + 1, 2 * enc.shape[1])
+    return repeats * enc.shape[0] / dt, steps
 
 
-def bench_baseline(params, config, mapping, enc, sample=4, max_steps=24):
+def bench_baseline(params, config, mapping, enc, full_steps, sample=4,
+                   max_steps=24):
     """Reference-structure decode (host loop per character) on a small
-    sample, extrapolated to full decode length per line."""
+    sample, extrapolated to the measured decode length per line."""
     from cor_asv_ann_tpu.lib import numpy_ref
     cfg = config.as_dict()
     sub = enc[:sample]
@@ -97,9 +145,9 @@ def bench_baseline(params, config, mapping, enc, sample=4, max_steps=24):
     numpy_ref.decode_batch_greedy(params, cfg, mapping, sub,
                                   max_steps=max_steps)
     dt = time.perf_counter() - t0
-    # full decode runs 2*T steps over the whole batch; scale measured
-    # per-step-per-line cost accordingly (batch-linear matmul cost)
-    full_steps = 2 * enc.shape[1]
+    # the reference loops until every line terminates (same step count
+    # the TPU while_loop measured); scale the measured per-step-per-line
+    # cost accordingly (batch-linear matmul cost)
     per_line = dt / sample * (full_steps / max_steps)
     return 1.0 / per_line
 
@@ -122,15 +170,17 @@ def main():
     watchdog = threading.Timer(900, _die)
     watchdog.daemon = True
     watchdog.start()
-    config, mapping, params = build()
+    # the bundled trained flagship (d2/w512): early-terminates on
+    # newline like real serving (a random-weight model never does and
+    # always pays the full 2T step cap — through round 1 the bench used
+    # one, under-reporting real throughput ~2x)
+    config, mapping, params = build_flagship()
     # batch 1024 saturates the chip (per-step overhead amortizes across
-    # lines; at the reference's default batch of 256 this config reaches
-    # ~7.5k lines/s in f32, 1024 in bf16 ~60-77k; beyond that HBM
-    # working sets start to spill)
-    batch, length, pad = 1024, 60, 64
-    enc = make_lines(mapping, batch, length, pad)
-    lines_per_sec = bench_tpu(params, config, mapping, enc)
-    baseline = bench_baseline(params, config, mapping, enc)
+    # lines; beyond that HBM working sets start to spill)
+    batch, min_len, pad = 1024, 50, 64
+    enc = make_flagship_lines(mapping, batch, min_len, pad)
+    lines_per_sec, steps = bench_tpu(params, config, mapping, enc)
+    baseline = bench_baseline(params, config, mapping, enc, steps)
     print(json.dumps({
         'metric': 'greedy_decode_throughput_d2w512',
         'value': round(lines_per_sec, 2),
