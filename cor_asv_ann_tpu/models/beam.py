@@ -33,8 +33,10 @@ Semantics carried over from the reference:
   vector with the r better-ranked maxima zeroed (seq2seq.py:1515-1520),
 - node ordering by prospective cost cum + cost0*|length - len0| with
   cost0 = 3 (Node.pro_cost, seq2seq.py:1588-1595),
-- termination after 2*len0 iterations, or early when the bank is full and
-  the worst banked cost beats the best queued cost (seq2seq.py:1396-1420).
+- termination after 2*len0 iterations, or early once strictly more than
+  beam_width_out solutions exist and the best of them strictly beats the
+  best queued node's prospective cost (seq2seq.py:1417-1419) — the bank
+  internally holds beam_width_out+1 slots for exactly this test.
 
 Deviations (documented):
 - the queue is bounded by R per line (the reference prunes to
@@ -207,7 +209,11 @@ def decode_beam(params, config: Seq2SeqConfig, bp: BeamParams, enc_input,
     from .seq2seq import ensure_onehot
     enc_input = ensure_onehot(enc_input, config, params)
     B, T, V = enc_input.shape
-    R, K, F = bp.reservoir, bp.expand, bp.beam_width_out
+    R, K = bp.reservoir, bp.expand
+    # internal bank holds one slot more than beam_width_out: the
+    # reference's early stop requires *more than* beam_width_out finished
+    # solutions (seq2seq.py:1417 `len(final_beam) > self.beam_width_out`)
+    F = bp.beam_width_out + 1
     C = min(bp.beam_width_in, V - 1)  # cannot admit more than the vocab
     S = max_steps or 2 * T
     WIN = min(2 * config.window_width + 2, T)
@@ -240,6 +246,13 @@ def decode_beam(params, config: Seq2SeqConfig, bp: BeamParams, enc_input,
              ).astype(jnp.float32),
         nchars=jnp.zeros((B, R), jnp.int32),
         was_rej=jnp.zeros((B, R), bool),
+        # finished (newline-terminated) hypotheses stay in the reservoir
+        # and compete by prospective cost like everything else; they move
+        # to the bank only when selected in the top-K pop — exactly the
+        # reference's skim of '\n' nodes off the global queue
+        # (seq2seq.py:1400-1404); a poor final that never bubbles up is
+        # never counted by the early-stop rule
+        is_fin=jnp.zeros((B, R), bool),
         # backpointer trie: hypothesis texts are NOT carried per slot
         # (that would re-gather (B,R,S) buffers every iteration); instead
         # each iteration records, per post-merge slot, its parent slot in
@@ -255,9 +268,6 @@ def decode_beam(params, config: Seq2SeqConfig, bp: BeamParams, enc_input,
         bank_len=jnp.zeros((B, F), jnp.int32),
         bank_t=jnp.zeros((B, F), jnp.int32),
         bank_parent=jnp.zeros((B, F), jnp.int32),
-        bank_char=jnp.zeros((B, F), jnp.int32),
-        bank_p=jnp.zeros((B, F), attended.dtype),
-        bank_apc=jnp.zeros((B, F), jnp.int32),
         done=~line_live,
     )
 
@@ -271,7 +281,10 @@ def decode_beam(params, config: Seq2SeqConfig, bp: BeamParams, enc_input,
         # --- pick the K best unexpanded nodes per line ----------------
         neg, exp_ix = jax.lax.top_k(-s['pro'], K)         # (B, K)
         exp_pro = -neg
-        exp_ok = jnp.isfinite(exp_pro) & ~s['done'][:, None]
+        sel_ok = jnp.isfinite(exp_pro) & ~s['done'][:, None]
+        sel_fin = jnp.take_along_axis(s['is_fin'], exp_ix, axis=1)
+        fin_sel = sel_fin & sel_ok      # finals skimmed into the bank
+        exp_ok = ~sel_fin & sel_ok      # actives expanded this iteration
 
         def g(x):  # wide float rows: select on the MXU (see _sel_rows)
             return _sel_rows(exp_ix, x, R)
@@ -279,6 +292,38 @@ def decode_beam(params, config: Seq2SeqConfig, bp: BeamParams, enc_input,
         e_cum = jnp.take_along_axis(s['cum'], exp_ix, axis=1)
         e_nchars = jnp.take_along_axis(s['nchars'], exp_ix, axis=1)
         e_wasrej = jnp.take_along_axis(s['was_rej'], exp_ix, axis=1)
+
+        # --- bank the selected finals (reference pops '\n' nodes into
+        # --- final_beam before expanding, seq2seq.py:1400-1404) --------
+        fin_cost = jnp.where(fin_sel, exp_pro, INF)       # (B, K)
+        all_fin = jnp.concatenate([s['bank_cost'], fin_cost], axis=1)
+        neg3, bsel = jax.lax.top_k(-all_fin, F)
+        nb_cost = -neg3
+        b_old = bsel < F
+        b_oix = jnp.minimum(bsel, F - 1)
+        bk = jnp.maximum(bsel - F, 0)                     # (B, F) into K
+
+        def bfield(old, new_k):
+            return jnp.where(b_old,
+                             jnp.take_along_axis(old, b_oix, axis=1),
+                             jnp.take_along_axis(new_k, bk, axis=1))
+
+        new_bank = dict(
+            bank_cost=nb_cost,
+            bank_cum=bfield(s['bank_cum'], e_cum),
+            bank_len=bfield(s['bank_len'], e_nchars),
+            # the banked node's text is its trie chain up to iteration t:
+            # start the backtrace at its start-of-t slot index
+            bank_t=bfield(s['bank_t'], jnp.broadcast_to(t, (B, K))),
+            bank_parent=bfield(s['bank_parent'], exp_ix),
+        )
+
+        # --- reference early stop (seq2seq.py:1417-1419): strictly more
+        # --- than beam_width_out finals found AND the best final strictly
+        # --- beats the best active selected this iteration --------------
+        bank_full = jnp.isfinite(nb_cost[:, -1])
+        best_active = jnp.min(jnp.where(exp_ok, exp_pro, INF), axis=1)
+        stop = bank_full & (nb_cost[:, 0] < best_active)
         e_aw = g(s['aw'])
         e_astart = jnp.take_along_axis(s['astart'], exp_ix, axis=1)
         e_feedback = g(s['feedback'])
@@ -351,9 +396,9 @@ def decode_beam(params, config: Seq2SeqConfig, bp: BeamParams, enc_input,
             (c_nchars + 1).astype(len0.dtype) - len0[:, None, None])
         ok = valid & exp_ok[..., None] & jnp.isfinite(c_cum)
         c_pro = jnp.where(ok, c_pro, INF)
+        # newline candidates enter the reservoir like all others (flagged
+        # final); they reach the bank only via a later top-K selection
         c_fin = (cand_idx == newline_idx) & ok
-        c_pro_res = jnp.where(c_fin, INF, c_pro)      # reservoir-bound
-        c_pro_fin = jnp.where(c_fin, c_pro, INF)      # bank-bound
 
         # per-candidate alignment center (rejection -> one-hot marker)
         c_center = jnp.broadcast_to(
@@ -362,12 +407,14 @@ def decode_beam(params, config: Seq2SeqConfig, bp: BeamParams, enc_input,
         c_center = jnp.where(is_rej, src_pos[..., None], c_center)
 
         # --- merge candidates into the reservoir ----------------------
+        # every selected slot is consumed: actives by expansion, finals
+        # by banking
         res_pro = s['pro'].at[jnp.arange(B)[:, None], exp_ix].set(
-            jnp.where(exp_ok, INF,
+            jnp.where(sel_ok, INF,
                       jnp.take_along_axis(s['pro'], exp_ix, axis=1)))
         CC = C + 1
         all_pro = jnp.concatenate(
-            [res_pro, c_pro_res.reshape(B, K * CC)], axis=1)  # (B, R+K*CC)
+            [res_pro, c_pro.reshape(B, K * CC)], axis=1)  # (B, R+K*CC)
         neg2, sel = jax.lax.top_k(-all_pro, R)
         new_pro = -neg2
         is_old = sel < R
@@ -445,50 +492,20 @@ def decode_beam(params, config: Seq2SeqConfig, bp: BeamParams, enc_input,
                                  _sel_rows(old_ix, s['feedback'], R),
                                  cand_feedback)
 
-        # --- route finished candidates into the bank ------------------
-        all_fin = jnp.concatenate(
-            [s['bank_cost'], c_pro_fin.reshape(B, K * CC)], axis=1)
-        neg3, bsel = jax.lax.top_k(-all_fin, F)
-        nb_cost = -neg3
-        b_old = bsel < F
-        b_oix = jnp.minimum(bsel, F - 1)
-        bj = jnp.maximum(bsel - F, 0)
-        b_par = bj // CC
-        bcand = lambda x: jnp.take_along_axis(x.reshape(B, K * CC), bj,
-                                              axis=1)
-
-        def bfield(old, new):
-            return jnp.where(b_old,
-                             jnp.take_along_axis(old, b_oix, axis=1), new)
-
-        new_bank = dict(
-            bank_cost=nb_cost,
-            bank_cum=bfield(s['bank_cum'], bcand(c_cum)),
-            bank_len=bfield(s['bank_len'],
-                            bcand(jnp.broadcast_to(c_nchars,
-                                                   cand_idx.shape))),
-            # finished hypotheses store only their last step: iteration,
-            # parent slot (previous-iteration numbering), final char —
-            # their text is rebuilt by the backtrace after the loop
-            bank_t=bfield(s['bank_t'], jnp.broadcast_to(t, (B, F))),
-            bank_parent=bfield(s['bank_parent'],
-                               jnp.take_along_axis(exp_ix, b_par, axis=1)),
-            bank_char=bfield(s['bank_char'], bcand(cand_idx)),
-            bank_p=bfield(s['bank_p'], bcand(cand_p)),
-            bank_apc=bfield(s['bank_apc'], bcand(c_center)),
-        )
+        # finality flag travels with the merged nodes
+        new_isfin = jnp.where(
+            is_old, jnp.take_along_axis(s['is_fin'], old_ix, axis=1),
+            cand_of(c_fin))
 
         # --- termination ----------------------------------------------
-        bank_full = jnp.isfinite(nb_cost[:, -1])
-        best_res = jnp.min(new_pro, axis=1)
-        stop = bank_full & (nb_cost[:, -1] <= best_res)
         no_live = ~jnp.any(jnp.isfinite(new_pro), axis=1)
         over = (t + 1).astype(len0.dtype) >= 2.0 * len0
         done = s['done'] | stop | no_live | over
 
         return dict(t=t + 1, h=new_h, aw=new_aw, astart=new_astart,
                     feedback=new_feedback, cum=new_cum, pro=new_pro,
-                    nchars=new_nchars, was_rej=new_wasrej, done=done,
+                    nchars=new_nchars, was_rej=new_wasrej,
+                    is_fin=new_isfin, done=done,
                     rec_parent=rec_parent, rec_char=rec_char, rec_p=rec_p,
                     rec_ap=rec_ap, **new_bank)
 
@@ -506,15 +523,9 @@ def decode_beam(params, config: Seq2SeqConfig, bp: BeamParams, enc_input,
     fin_len = s['bank_len']
     bix = jnp.arange(B)[:, None]
     fix = jnp.arange(F)[None, :]
-    last = jnp.maximum(fin_len - 1, 0)
-    last_w = jnp.where(valid, last, S)  # out-of-bounds drops the write
-    idx0 = jnp.zeros((B, F, S), jnp.int32
-                     ).at[bix, fix, last_w].set(s['bank_char'],
-                                                mode='drop')
-    prob0 = jnp.zeros((B, F, S), attended.dtype
-                      ).at[bix, fix, last_w].set(s['bank_p'], mode='drop')
-    ap0 = jnp.zeros((B, F, S), jnp.int32
-                    ).at[bix, fix, last_w].set(s['bank_apc'], mode='drop')
+    idx0 = jnp.zeros((B, F, S), jnp.int32)
+    prob0 = jnp.zeros((B, F, S), attended.dtype)
+    ap0 = jnp.zeros((B, F, S), jnp.int32)
 
     def walk(carry, tt):
         pos, outpos, idx, prob, ap = carry
@@ -540,9 +551,15 @@ def decode_beam(params, config: Seq2SeqConfig, bp: BeamParams, enc_input,
         pos = jnp.where(active, rpar, pos)
         return (pos, outpos, idx, prob, ap), None
 
-    carry0 = (s['bank_parent'], fin_len - 2, idx0, prob0, ap0)
+    # the banked node's own newline record is part of its trie chain, so
+    # the walk emits the complete text including the final char
+    carry0 = (s['bank_parent'], fin_len - 1, idx0, prob0, ap0)
     (pos, outpos, idx, prob, ap), _ = jax.lax.scan(
         walk, carry0, jnp.arange(S - 1, -1, -1))
-    return dict(idx=idx, prob=prob,
-                length=s['bank_len'], cost=s['bank_cost'],
-                cum=s['bank_cum'], count=count, align_pos=ap)
+    # expose only beam_width_out solutions (the extra internal slot
+    # exists for the reference's early-stop rule)
+    Fo = bp.beam_width_out
+    return dict(idx=idx[:, :Fo], prob=prob[:, :Fo],
+                length=s['bank_len'][:, :Fo], cost=s['bank_cost'][:, :Fo],
+                cum=s['bank_cum'][:, :Fo],
+                count=jnp.minimum(count, Fo), align_pos=ap[:, :Fo])
