@@ -64,24 +64,18 @@ def make_lines(mapping, batch, length, pad):
 
 def make_flagship_lines(mapping, batch, min_len, pad):
     """Noisy historical-OCR-style lines from the flagship's training
-    distribution (tests/test_quality.py generator), padded to `pad`."""
+    distribution (cor_asv_ann_tpu.utils.synthdata — the same tables the
+    model trained on and tests/test_quality.py evaluates with)."""
+    from cor_asv_ann_tpu.utils.synthdata import WORDS, NOISE
     rng = np.random.default_rng(1)
-    words = ("der die das und ist ein eine mit von auf nicht sich auch "
-             "als wird nach bei aus durch über unter vor zwischen gegen "
-             "ohne Mensch Welt Leben Zeit Jahr Hand Tag Nacht Haus Land "
-             "Stadt Wasser Feuer Erde Licht Aufklärung Vernunft Freiheit "
-             "Wissen Schrift Buch Seite Wort Sprache Geschichte Natur "
-             "Wesen Geist").split()
-    noise = {'s': 'ſ', 'f': 'ſ', 't': 'l', 'e': 'c', 'n': 'u', 'u': 'n',
-             'r': 'x', 'i': 'j', 'h': 'b', 'ä': 'a'}
     V = mapping.voc_size
     enc = np.zeros((batch, pad, V), np.float32)
     for b in range(batch):
         text = ''
         while len(text) < min_len:
-            text += words[rng.integers(len(words))] + ' '
-        text = ''.join(noise.get(ch, ch)
-                       if ch in noise and rng.random() < 0.12 else ch
+            text += WORDS[rng.integers(len(WORDS))] + ' '
+        text = ''.join(NOISE[ch]
+                       if ch in NOISE and rng.random() < 0.12 else ch
                        for ch in text.strip()[:pad - 1]) + '\n'
         idx = mapping.encode(text)
         enc[b, np.arange(len(idx)), idx] = 1.0
@@ -129,8 +123,10 @@ def bench_tpu(params, config, mapping, enc, repeats=20):
     lengths = np.asarray(out[2])
     dt = time.perf_counter() - t0
     # steps the while_loop actually ran (early exit when all lines hit
-    # newline — trained models terminate; the step cap is 2T)
-    steps = min(int(lengths.max()) + 1, 2 * enc.shape[1])
+    # newline — trained models terminate; the step cap is 2T): the body
+    # executes exactly max-final-length times (the newline is emitted on
+    # the final executed step)
+    steps = min(int(lengths.max()), 2 * enc.shape[1])
     return repeats * enc.shape[0] / dt, steps
 
 

@@ -403,12 +403,14 @@ class Sequence2Sequence:
         out = decode_beam(params, self.config, self._beam_params(),
                           enc, newline, src_len)
         # pack into two device buffers -> two host fetches instead of
-        # seven (each fetch is a transport round trip)
+        # seven (each fetch is a transport round trip); the alignment
+        # centers only travel when the caller wants alignments
         import jax.numpy as jnp
         f32 = jnp.float32
-        big = np.asarray(jnp.concatenate(
-            [out['idx'].astype(f32), out['prob'].astype(f32),
-             out['align_pos'].astype(f32)], axis=2))
+        big_parts = [out['idx'].astype(f32), out['prob'].astype(f32)]
+        if return_alignments:
+            big_parts.append(out['align_pos'].astype(f32))
+        big = np.asarray(jnp.concatenate(big_parts, axis=2))
         small = np.asarray(jnp.concatenate(
             [out['length'].astype(f32), out['cost'].astype(f32),
              out['cum'].astype(f32),
@@ -417,7 +419,8 @@ class Sequence2Sequence:
         F = out['length'].shape[1]
         out = dict(idx=big[:, :, :S].astype(np.int32),
                    prob=big[:, :, S:2 * S],
-                   align_pos=big[:, :, 2 * S:].astype(np.int32),
+                   align_pos=(big[:, :, 2 * S:].astype(np.int32)
+                              if return_alignments else None),
                    length=small[:, :F].astype(np.int32),
                    cost=small[:, F:2 * F], cum=small[:, 2 * F:3 * F],
                    count=small[:, 3 * F].astype(np.int32))
@@ -443,10 +446,13 @@ class Sequence2Sequence:
             out_lines.append(text.replace(GAP, ''))
             out_probs.append(out['prob'][j, 0, :L].tolist())
             out_scores.append(float(out['cum'][j, 0] / max(L, 1)))
-            centers = out['align_pos'][j, 0, :L]
-            align = np.eye(T, dtype=np.float32)[
-                np.clip(centers, 0, T - 1)]
-            out_aligns.append(align.tolist())
+            if return_alignments:
+                centers = out['align_pos'][j, 0, :L]
+                align = np.eye(T, dtype=np.float32)[
+                    np.clip(centers, 0, T - 1)]
+                out_aligns.append(align.tolist())
+            else:
+                out_aligns.append([])
         return out_lines, out_probs, out_scores, out_aligns
 
     def _indexes2text(self, indexes):

@@ -351,6 +351,10 @@ def decode_beam(params, config: Seq2SeqConfig, bp: BeamParams, enc_input,
                   & ((misal < 0.1) | e_wasrej | first)
                   & jnp.take_along_axis(src_any, src_pos, axis=1))
         rej_idx = jnp.take_along_axis(src_top, src_pos, axis=1)
+        # an unmapped source char is index 0 (underspecification), which
+        # the reference never admits as a candidate — not even via the
+        # rejection path (seq2seq.py:1504-1506 `value == '': continue`)
+        rej_ok = rej_ok & (rej_idx != 0)
         rej_oh = jax.nn.one_hot(rej_idx, V, dtype=probs.dtype)
         rej_p = jnp.sum(probs * rej_oh, axis=-1)
         boost = rej_ok & (rej_p < bp.rejection_threshold)

@@ -23,38 +23,14 @@ FLAGSHIP = os.path.join(MODELS_DIR, 'flagship.d2.w512.synthetic.h5')
 pytestmark = pytest.mark.skipif(not os.path.exists(MODEL),
                                 reason='bundled model missing')
 
-WORDS = ("der die das und ist ein eine mit von auf nicht sich auch als "
-         "wird nach bei aus durch über unter vor zwischen gegen ohne "
-         "Mensch Welt Leben Zeit Jahr Hand Tag Nacht Haus Land Stadt "
-         "Wasser Feuer Erde Licht Aufklärung Vernunft Freiheit Wissen "
-         "Schrift Buch Seite Wort Sprache Geschichte Natur Wesen Geist"
-         ).split()
-NOISE = {'s': 'ſ', 'f': 'ſ', 't': 'l', 'e': 'c', 'n': 'u', 'u': 'n',
-         'r': 'x', 'i': 'j', 'h': 'b', 'ä': 'a'}
+from cor_asv_ann_tpu.utils.synthdata import make_pairs
 
 
 def make_test_pairs(n=64):
-    """Regenerate the soak's held-out set (same generator, same seed
-    stream position is irrelevant — any sample from this distribution)."""
-    rng = np.random.default_rng(7)
-
-    def make_line():
-        k = rng.integers(3, 8)
-        return ' '.join(rng.choice(WORDS) for _ in range(k))
-
-    def corrupt(text):
-        out = []
-        for ch in text:
-            if ch in NOISE and rng.random() < 0.12:
-                out.append(NOISE[ch])
-            elif rng.random() < 0.01:
-                continue
-            else:
-                out.append(ch)
-        return ''.join(out)
-
-    lines = [make_line() for _ in range(n)]
-    return [(corrupt(l), l) for l in lines]
+    """Regenerate the soak's held-out set (same generator, same seed —
+    the corpus tables live in utils/synthdata.py, shared with bench.py
+    so all consumers stay on the distribution the models trained on)."""
+    return make_pairs(n, seed=7)
 
 
 def corpus_cer(outs, tgts):
