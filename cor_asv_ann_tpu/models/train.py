@@ -305,6 +305,14 @@ def train_model(s2s, filenames, val_filenames=None, checkpoint_dir='.',
     start_epoch = 1
     if resume and checkpoint_dir is not None:
         state = load_train_state(checkpoint_dir)
+        if state is not None and not _tree_shapes_match(state['params'],
+                                                        params):
+            # a stale train_state.pkl from an unrelated run (different
+            # topology/charset) must not be restored — start fresh
+            logger.warning('train_state.pkl in %s does not match the '
+                           'current model topology; ignoring it',
+                           checkpoint_dir)
+            state = None
         if state is not None:
             params = state['params']
             opt_state = state['opt_state']
@@ -317,12 +325,19 @@ def train_model(s2s, filenames, val_filenames=None, checkpoint_dir='.',
             best_params = state['best_params']
             start_epoch = state['epoch'] + 1
             if state.get('split') is not None:
-                split = state['split']
+                if (split is not None
+                        and len(state['split']) != len(split)):
+                    logger.warning(
+                        'restored validation split covers %d lines but '
+                        'the dataset has %d; regenerating the split',
+                        len(state['split']), len(split))
+                else:
+                    split = state['split']
             logger.info('resuming training from epoch %d '
                         '(best val_loss %.4f)', start_epoch, best_loss)
         else:
-            logger.warning('resume requested but no train_state.pkl in %s',
-                           checkpoint_dir)
+            logger.warning('resume requested but no usable '
+                           'train_state.pkl in %s', checkpoint_dir)
     history = {'loss': [], 'val_loss': []}
     with StopSignal(logger) as stop:
         for epoch in range(start_epoch, s2s.epochs + 1):
@@ -422,6 +437,15 @@ def train_model(s2s, filenames, val_filenames=None, checkpoint_dir='.',
     s2s.status = 2
     logger.info('training finished with val_loss %f', best_loss)
     return history
+
+
+def _tree_shapes_match(a, b):
+    """True when two parameter pytrees have identical structure and leaf
+    shapes (resume-state sanity check)."""
+    la, ta = jax.tree_util.tree_flatten(a)
+    lb, tb = jax.tree_util.tree_flatten(b)
+    return (ta == tb and len(la) == len(lb)
+            and all(np.shape(x) == np.shape(y) for x, y in zip(la, lb)))
 
 
 def _vectorize(mapping, sources, targets, confs, logger):

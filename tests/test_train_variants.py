@@ -166,3 +166,27 @@ def test_checkpoint_resume(tmp_path):
     # resumed run covers epochs 3..4 only and keeps improving
     assert len(h2['loss']) <= 2
     assert h2['loss'][-1] <= loss_after_2 + 0.1
+
+    # a stale train_state.pkl from an unrelated run (different topology
+    # or dataset) must be ignored, not crash the resumed run
+    s2s3 = Sequence2Sequence()
+    s2s3.width, s2s3.depth, s2s3.batch_size = 16, 2, 8   # other width
+    s2s3.epochs = 1
+    s2s3.mapping = s2s.mapping
+    s2s3.configure()
+    h3 = s2s3.train([str(data)], checkpoint_dir=str(ckpt), resume=True)
+    assert s2s3.status == 2
+    assert np.isfinite(h3['loss'][-1])
+    # same topology but a different (larger) dataset: the restored split
+    # no longer covers the line count and must be regenerated
+    data2 = tmp_path / 'train2.tsv'
+    rows2 = [f"{w}\t{w.upper()}" for w in ('ab', 'ba', 'aab', 'bba') * 24]
+    data2.write_text('\n'.join(rows2) + '\n')
+    s2s4 = Sequence2Sequence()
+    s2s4.width, s2s4.depth, s2s4.batch_size = 8, 2, 8
+    s2s4.epochs = 4
+    s2s4.mapping = s2s.mapping
+    s2s4.configure()
+    h4 = s2s4.train([str(data2)], checkpoint_dir=str(ckpt), resume=True)
+    assert s2s4.status == 2
+    assert np.isfinite(h4['loss'][-1])
