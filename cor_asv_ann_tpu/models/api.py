@@ -30,11 +30,13 @@ from .beam import BeamParams, decode_beam
 from .config import Seq2SeqConfig, init_params
 from .seq2seq import decode_greedy, decode_greedy_windowed
 
-# bucket length above which windowed-gather attention beats dense
-# streaming (dense re-reads the full (B, T, W) u/attended per step;
-# XLA's row gather is ~25x slower per byte, so the crossover sits at
-# T ~ 25x the 11-wide window — see NOTES.md "Performance map")
-WINDOWED_DECODE_MIN_T = 256
+# bucket length above which windowed-gather attention beats the
+# shared-window/dense decoder (which still streams T-sized tensors on
+# fallback steps). Measured steady-state with the fixed timing harness:
+# equal within noise at T <= 96, windowed 1.2x at T=128, 1.5x at 256,
+# 2.4x at 512 (round 1's 25x-slower-gather figure and its T~280
+# crossover came from the lazy-compile measurement artifact, NOTES.md)
+WINDOWED_DECODE_MIN_T = 128
 
 
 def _pack_results(idx, prob, length, score):
