@@ -45,7 +45,10 @@ Deviations (documented):
   length; models/api.py passes the true per-line source length),
 - per-step alignments are recorded as their window centers only;
   downstream hard alignment paths are built from the centers instead of
-  Viterbi over a dense soft-alignment matrix (transcode.py:279-349).
+  Viterbi over a dense soft-alignment matrix (transcode.py:279-349),
+- finals popped past the bank's F best are dropped rather than kept in
+  an unbounded final_beam (the reference can yield arbitrarily many
+  solutions; callers only ever consume the best few).
 """
 
 import dataclasses
@@ -214,7 +217,7 @@ def decode_beam(params, config: Seq2SeqConfig, bp: BeamParams, enc_input,
     # reference's early stop requires *more than* beam_width_out finished
     # solutions (seq2seq.py:1417 `len(final_beam) > self.beam_width_out`)
     F = bp.beam_width_out + 1
-    C = min(bp.beam_width_in, V - 1)  # cannot admit more than the vocab
+    C = min(bp.beam_width_in, V)  # cannot admit more than the vocab
     S = max_steps or 2 * T
     WIN = min(2 * config.window_width + 2, T)
     attended, states, u = encode(params, config, enc_input)
@@ -238,6 +241,19 @@ def decode_beam(params, config: Seq2SeqConfig, bp: BeamParams, enc_input,
         h=tuple((tile_r(h), tile_r(c)) for h, c in states),
         aw=jnp.zeros((B, R, WIN), attended.dtype),
         astart=jnp.zeros((B, R), jnp.int32),
+        # rejection bookkeeping, separate from the attention state: the
+        # reference stores the one-hot marker in the NODE's alignment
+        # attribute only, while the decoder state keeps the raw soft
+        # alignment (seq2seq.py:1510-1521 `state=states` vs
+        # `alignment=alignment1`) — so the attention keeps windowing on
+        # the soft distribution even through rejection chains.
+        # book_pos = expected source position of the bookkeeping
+        # alignment (src_pos for rejection nodes, soft expectation
+        # otherwise); book_max1 = max(bookkeeping alignment) == 1.0,
+        # the reference's rejection-chain marker (true for one-hot
+        # marker rows AND for genuinely saturated soft alignments)
+        book_pos=jnp.zeros((B, R), jnp.float32),
+        book_max1=jnp.zeros((B, R), bool),
         feedback=jnp.zeros((B, R, V), attended.dtype),
         cum=jnp.where(root, 0.0, INF).astype(jnp.float32)
             * jnp.ones((B, 1)),
@@ -245,13 +261,12 @@ def decode_beam(params, config: Seq2SeqConfig, bp: BeamParams, enc_input,
              + bp.cost0 * jnp.abs(1.0 - len0[:, None])
              ).astype(jnp.float32),
         nchars=jnp.zeros((B, R), jnp.int32),
-        was_rej=jnp.zeros((B, R), bool),
         # finished (newline-terminated) hypotheses stay in the reservoir
         # and compete by prospective cost like everything else; they move
-        # to the bank only when selected in the top-K pop — exactly the
-        # reference's skim of '\n' nodes off the global queue
-        # (seq2seq.py:1400-1404); a poor final that never bubbles up is
-        # never counted by the early-stop rule
+        # to the bank exactly when they would pop in the reference's
+        # best-first skim — when they outrank the K-th active of an
+        # iteration (seq2seq.py:1400-1415). A poor final that never
+        # bubbles up is never counted by the early-stop rule.
         is_fin=jnp.zeros((B, R), bool),
         # backpointer trie: hypothesis texts are NOT carried per slot
         # (that would re-gather (B,R,S) buffers every iteration); instead
@@ -278,54 +293,65 @@ def decode_beam(params, config: Seq2SeqConfig, bp: BeamParams, enc_input,
 
     def body(s):
         t = s['t']
-        # --- pick the K best unexpanded nodes per line ----------------
-        neg, exp_ix = jax.lax.top_k(-s['pro'], K)         # (B, K)
+        # --- pick the K best ACTIVE nodes per line for expansion ------
+        # (the reference pops best-first, skimming '\n' nodes into
+        # final_beam along the way, until the fringe holds batch_size
+        # actives, seq2seq.py:1400-1415 — so finals never consume
+        # expansion slots, and exactly the finals that outrank the K-th
+        # active pop before the fringe fills)
+        active_pro = jnp.where(s['is_fin'], INF, s['pro'])
+        neg, exp_ix = jax.lax.top_k(-active_pro, K)       # (B, K)
         exp_pro = -neg
-        sel_ok = jnp.isfinite(exp_pro) & ~s['done'][:, None]
-        sel_fin = jnp.take_along_axis(s['is_fin'], exp_ix, axis=1)
-        fin_sel = sel_fin & sel_ok      # finals skimmed into the bank
-        exp_ok = ~sel_fin & sel_ok      # actives expanded this iteration
+        exp_ok = jnp.isfinite(exp_pro) & ~s['done'][:, None]
 
         def g(x):  # wide float rows: select on the MXU (see _sel_rows)
             return _sel_rows(exp_ix, x, R)
 
         e_cum = jnp.take_along_axis(s['cum'], exp_ix, axis=1)
         e_nchars = jnp.take_along_axis(s['nchars'], exp_ix, axis=1)
-        e_wasrej = jnp.take_along_axis(s['was_rej'], exp_ix, axis=1)
 
-        # --- bank the selected finals (reference pops '\n' nodes into
-        # --- final_beam before expanding, seq2seq.py:1400-1404) --------
-        fin_cost = jnp.where(fin_sel, exp_pro, INF)       # (B, K)
+        # --- bank queued finals that pop before the fringe fills ------
+        # a final pops iff it ranks better than the K-th active; when the
+        # queue holds fewer than K actives the reference drains it
+        # completely, banking every final
+        kth = jnp.where(jnp.all(jnp.isfinite(exp_pro), axis=1),
+                        exp_pro[:, -1], INF)              # (B,)
+        fin_bank = (s['is_fin'] & jnp.isfinite(s['pro'])
+                    & (s['pro'] < kth[:, None]) & ~s['done'][:, None])
+        fin_cost = jnp.where(fin_bank, s['pro'], INF)     # (B, R)
         all_fin = jnp.concatenate([s['bank_cost'], fin_cost], axis=1)
         neg3, bsel = jax.lax.top_k(-all_fin, F)
         nb_cost = -neg3
         b_old = bsel < F
         b_oix = jnp.minimum(bsel, F - 1)
-        bk = jnp.maximum(bsel - F, 0)                     # (B, F) into K
+        bk = jnp.maximum(bsel - F, 0)                     # (B, F) into R
 
-        def bfield(old, new_k):
+        def bfield(old, new_r):
             return jnp.where(b_old,
                              jnp.take_along_axis(old, b_oix, axis=1),
-                             jnp.take_along_axis(new_k, bk, axis=1))
+                             jnp.take_along_axis(new_r, bk, axis=1))
 
         new_bank = dict(
             bank_cost=nb_cost,
-            bank_cum=bfield(s['bank_cum'], e_cum),
-            bank_len=bfield(s['bank_len'], e_nchars),
+            bank_cum=bfield(s['bank_cum'], s['cum']),
+            bank_len=bfield(s['bank_len'], s['nchars']),
             # the banked node's text is its trie chain up to iteration t:
             # start the backtrace at its start-of-t slot index
-            bank_t=bfield(s['bank_t'], jnp.broadcast_to(t, (B, K))),
-            bank_parent=bfield(s['bank_parent'], exp_ix),
+            bank_t=bfield(s['bank_t'], jnp.broadcast_to(t, (B, R))),
+            bank_parent=bfield(s['bank_parent'],
+                               jnp.broadcast_to(jnp.arange(R), (B, R))),
         )
 
         # --- reference early stop (seq2seq.py:1417-1419): strictly more
         # --- than beam_width_out finals found AND the best final strictly
         # --- beats the best active selected this iteration --------------
         bank_full = jnp.isfinite(nb_cost[:, -1])
-        best_active = jnp.min(jnp.where(exp_ok, exp_pro, INF), axis=1)
+        best_active = jnp.where(exp_ok[:, 0], exp_pro[:, 0], INF)
         stop = bank_full & (nb_cost[:, 0] < best_active)
         e_aw = g(s['aw'])
         e_astart = jnp.take_along_axis(s['astart'], exp_ix, axis=1)
+        e_bpos = jnp.take_along_axis(s['book_pos'], exp_ix, axis=1)
+        e_wasrej = jnp.take_along_axis(s['book_max1'], exp_ix, axis=1)
         e_feedback = g(s['feedback'])
         e_h = tuple((g(h), g(c)) for h, c in s['h'])
 
@@ -337,8 +363,11 @@ def decode_beam(params, config: Seq2SeqConfig, bp: BeamParams, enc_input,
         lm_probs = step_out[5] if bp.lm_predict else None
 
         # --- rejection candidate (seq2seq.py:1441-1470) ---------------
-        offs = jnp.arange(WIN, dtype=a_w.dtype)
-        prev_exp = jnp.sum(e_aw * (e_astart[..., None] + offs), axis=-1)
+        # prev position comes from the BOOKKEEPING alignment (src_pos
+        # for rejection nodes, the soft expectation otherwise), while
+        # new_exp is this step's soft expectation — exactly the
+        # reference's prev_source_pos/source_pos pair
+        prev_exp = e_bpos
         first = e_nchars == 0
         misal = jnp.where(first, 0.0, jnp.abs(new_exp - prev_exp - 1.0))
         src_pos = jnp.where(
@@ -365,10 +394,15 @@ def decode_beam(params, config: Seq2SeqConfig, bp: BeamParams, enc_input,
         # top-C by (boosted) probability plus one dedicated slot for the
         # rejection candidate: the reference admits it *in addition* to
         # every threshold-admitted candidate, scanning past the cutoff
-        # until it is found (seq2seq.py:1480-1501)
-        cand_base = probs_adj.at[:, :, 0].set(-INF)  # exclude underspec
-        cand_p, cand_idx = jax.lax.top_k(cand_base, C)   # (B, K, C)
-        valid = cand_p >= cand_p[..., :1] * bp.beam_threshold_in
+        # until it is found (seq2seq.py:1480-1501).
+        # The underspecification char (index 0) stays IN the ranking: the
+        # reference scans it, counts it against the beam width, lets it
+        # define `highest`, and only then skips it via `value == '':
+        # continue` (seq2seq.py:1480-1506) — so it consumes an admission
+        # slot without ever being enqueued (or zeroed in the feedback)
+        cand_p, cand_idx = jax.lax.top_k(probs_adj, C)   # (B, K, C)
+        valid = ((cand_p >= cand_p[..., :1] * bp.beam_threshold_in)
+                 & (cand_idx != 0))
         in_top = jnp.any((cand_idx == rej_idx[..., None]) & valid,
                          axis=-1)
         rej_slot_ok = rej_ok & ~in_top
@@ -411,11 +445,12 @@ def decode_beam(params, config: Seq2SeqConfig, bp: BeamParams, enc_input,
         c_center = jnp.where(is_rej, src_pos[..., None], c_center)
 
         # --- merge candidates into the reservoir ----------------------
-        # every selected slot is consumed: actives by expansion, finals
-        # by banking
+        # every popped node leaves the queue: actives by expansion,
+        # finals by banking
         res_pro = s['pro'].at[jnp.arange(B)[:, None], exp_ix].set(
-            jnp.where(sel_ok, INF,
+            jnp.where(exp_ok, INF,
                       jnp.take_along_axis(s['pro'], exp_ix, axis=1)))
+        res_pro = jnp.where(fin_bank, INF, res_pro)
         CC = C + 1
         all_pro = jnp.concatenate(
             [res_pro, c_pro.reshape(B, K * CC)], axis=1)  # (B, R+K*CC)
@@ -436,9 +471,6 @@ def decode_beam(params, config: Seq2SeqConfig, bp: BeamParams, enc_input,
         new_nchars = jnp.where(
             is_old, jnp.take_along_axis(s['nchars'], old_ix, axis=1),
             cand_of(jnp.broadcast_to(c_nchars, cand_idx.shape)))
-        new_wasrej = jnp.where(
-            is_old, jnp.take_along_axis(s['was_rej'], old_ix, axis=1),
-            cand_of(is_rej))
 
         # reservoir merge for wide float state: select from the stacked
         # (B, R+K, D) sources with one one-hot matmul per tensor
@@ -448,20 +480,30 @@ def decode_beam(params, config: Seq2SeqConfig, bp: BeamParams, enc_input,
             src = jnp.concatenate([old, new_k], axis=1)       # (B, R+K, D)
             return _sel_rows(merge_ix, src, R + K)
 
-        # alignment state: rejection candidates get a one-hot marker at
-        # src_pos (window start = src_pos, weight 1 at offset 0)
+        # attention state: ALWAYS the raw soft alignment rows — the
+        # reference feeds the soft state back through rejections too
+        # (the one-hot marker lives only in the node's bookkeeping
+        # alignment, seq2seq.py:1510-1521)
         sel_isrej = cand_of(is_rej)
         sel_srcpos = cand_of(
             jnp.broadcast_to(src_pos[..., None], cand_idx.shape))
-        rej_onehot = jnp.zeros((B, R, WIN), a_w.dtype).at[:, :, 0].set(1.0)
-        new_aw = jnp.where(sel_isrej[..., None], rej_onehot,
-                           merge(s['aw'], a_w))
-        new_astart = jnp.where(sel_isrej, sel_srcpos,
-                               jnp.where(is_old,
-                                         jnp.take_along_axis(
-                                             s['astart'], old_ix, axis=1),
-                                         jnp.take_along_axis(
-                                             a_start, par_k, axis=1)))
+        new_aw = merge(s['aw'], a_w)
+        new_astart = jnp.where(is_old,
+                               jnp.take_along_axis(
+                                   s['astart'], old_ix, axis=1),
+                               jnp.take_along_axis(a_start, par_k, axis=1))
+        # bookkeeping: rejection candidates record the one-hot position
+        # (marker), normal candidates the step's soft expectation and
+        # whether the soft row saturated to exactly 1.0
+        step_max1 = jnp.max(a_w, axis=-1) == 1.0               # (B, K)
+        new_bpos = jnp.where(
+            is_old, jnp.take_along_axis(s['book_pos'], old_ix, axis=1),
+            jnp.where(sel_isrej, sel_srcpos.astype(jnp.float32),
+                      jnp.take_along_axis(new_exp.astype(jnp.float32),
+                                          par_k, axis=1)))
+        new_bmax1 = jnp.where(
+            is_old, jnp.take_along_axis(s['book_max1'], old_ix, axis=1),
+            sel_isrej | jnp.take_along_axis(step_max1, par_k, axis=1))
         new_h = tuple((merge(s['h'][l][0], n_h[l][0]),
                        merge(s['h'][l][1], n_h[l][1]))
                       for l in range(len(n_h)))
@@ -507,8 +549,9 @@ def decode_beam(params, config: Seq2SeqConfig, bp: BeamParams, enc_input,
         done = s['done'] | stop | no_live | over
 
         return dict(t=t + 1, h=new_h, aw=new_aw, astart=new_astart,
+                    book_pos=new_bpos, book_max1=new_bmax1,
                     feedback=new_feedback, cum=new_cum, pro=new_pro,
-                    nchars=new_nchars, was_rej=new_wasrej,
+                    nchars=new_nchars,
                     is_fin=new_isfin, done=done,
                     rec_parent=rec_parent, rec_char=rec_char, rec_p=rec_p,
                     rec_ap=rec_ap, **new_bank)

@@ -358,8 +358,13 @@ def _windowed_attention(top, h_prev, aw, astart, attended, u, ww,
     B, T, A = attended.shape
     WIN = aw.shape[-1]
     SW = min(shared_width, T)
-    offs = jnp.arange(WIN, dtype=aw.dtype)
-    t0 = jnp.sum(aw * (astart[:, None].astype(aw.dtype) + offs),
+    # t0 in float32 regardless of serving dtype: bf16 positions >= 128
+    # have ulp 1, which would let the window center sit +-1 off the
+    # dense/shared-path f32 center (attention_step_shared computes its
+    # grid in f32 the same way)
+    offs = jnp.arange(WIN, dtype=jnp.float32)
+    t0 = jnp.sum(aw.astype(jnp.float32)
+                 * (astart[:, None].astype(jnp.float32) + offs),
                  axis=-1) + 1.0                                  # (B,)
     new_start = jnp.clip(jnp.floor(t0).astype(jnp.int32) - ww, 0,
                          max(T - WIN, 0))

@@ -325,12 +325,16 @@ def train_model(s2s, filenames, val_filenames=None, checkpoint_dir='.',
             best_params = state['best_params']
             start_epoch = state['epoch'] + 1
             if state.get('split') is not None:
-                if (split is not None
-                        and len(state['split']) != len(split)):
+                if val_filenames:
+                    # explicit validation files: a checkpointed random
+                    # split must not be restored (it would misalign
+                    # gen_line_batches against this dataset)
+                    pass
+                elif len(state['split']) != num_lines:
                     logger.warning(
                         'restored validation split covers %d lines but '
                         'the dataset has %d; regenerating the split',
-                        len(state['split']), len(split))
+                        len(state['split']), num_lines)
                 else:
                     split = state['split']
             logger.info('resuming training from epoch %d '

@@ -93,11 +93,20 @@ def load_config(filename):
     return config, mapping
 
 
-def load_weights(filename, config: Seq2SeqConfig, logger=None):
-    """Load a full parameter pytree from a reference-format weights file."""
+def load_weights(filename, config: Seq2SeqConfig, logger=None,
+                 partial=False):
+    """Load a full parameter pytree from a reference-format weights file.
+
+    A layer group missing from the file raises ``ValueError`` listing
+    every missing layer (a truncated or topology-mismatched file must
+    not silently yield a half-random "working" model); pass
+    ``partial=True`` to downgrade that to a warning and keep the
+    randomly-initialized weights for the missing layers (transfer-style
+    loads should use :func:`load_transfer_weights` instead)."""
     params = init_params(config, seed=0)
     W, d = config.width, config.depth
     deep = config.deep_bidirectional_encoder
+    missing = []
     with h5py.File(filename, 'r') as f:
         root = f
         if 'layer_names' not in root.attrs and 'model_weights' in root:
@@ -106,6 +115,7 @@ def load_weights(filename, config: Seq2SeqConfig, logger=None):
         def layer_group(name):
             if name in root:
                 return root[name]
+            missing.append(name)
             return None
 
         g = layer_group('char_input_projection')
@@ -161,6 +171,15 @@ def load_weights(filename, config: Seq2SeqConfig, logger=None):
                         base = _basename(path)
                         if base in ('kernel', 'bias'):
                             params['bridge'][n][s][base] = arr.astype(np.float32)
+    if missing:
+        if not partial:
+            raise ValueError(
+                '%s is missing layer groups %s for the configured '
+                'topology (width %d depth %d); pass partial=True to '
+                'load anyway' % (filename, missing, W, d))
+        if logger:
+            logger.warning('%s: missing layer groups %s left at random '
+                           'initialization', filename, missing)
     return params
 
 

@@ -24,46 +24,63 @@ def _decode(mapping, out, j, f=0):
     return ''.join(mapping.i2c[int(i)] for i in out['idx'][j, f, :L])
 
 
-@pytest.mark.parametrize('seed,depth', [(7, 2), (11, 2), (23, 2),
-                                        (3, 2), (5, 2), (13, 2), (31, 2),
-                                        (42, 2), (7, 1), (11, 3)])
-def test_beam_matches_oracle_1best(seed, depth):
+SEEDS = [(7, 2), (11, 2), (23, 2), (3, 2), (5, 2), (13, 2), (31, 2),
+         (42, 2), (7, 1), (11, 3)]
+
+
+def test_beam_matches_oracle_1best():
+    """The device beam's 1-best must text-match the reference-semantics
+    oracle on nearly all (seed, depth) combinations; any divergent line
+    must additionally be at least as good by the shared prospective cost
+    (near-tie searches can legitimately resolve differently between the
+    bounded reservoir and the reference's heuristic early stop, but a
+    systematic regression would push the divergence count over the
+    bound)."""
     mapping = CharMapping.from_texts(["abcdefghij .,\n"])
-    config = Seq2SeqConfig(width=8, depth=depth,
-                           voc_size=mapping.voc_size)
-    params = init_params(config, seed=seed)
-    params['char_embedding']['kernel'] *= 400.0
-    enc = make_onehot_batch(mapping, LINES, pad_to=T)
-    # oracle uses the padded length as len0 (like the reference), so pass
-    # the same to the device beam for comparability; reservoir matched to
-    # the reference's effective queue bound (max_batches * batch_size =
-    # 2*T*8 = 192) so the only pruning difference vanishes
-    src_len = np.full(len(LINES), T, np.int32)
-    bp = beam.BeamParams(reservoir=192, expand=8, beam_width_in=6,
-                         beam_width_out=4)
-    out = {k: np.asarray(v) for k, v in beam.decode_beam(
-        params, config, bp, enc, mapping.get('\n'), src_len).items()}
-    for j in range(len(LINES)):
-        gen = numpy_ref.decode_sequence_beam(
-            params, config.as_dict(), mapping, enc[j],
-            rejection_threshold=0.3, beam_width_in=6,
-            beam_threshold_in=0.2, beam_width_out=4, batch_size=8)
-        ref_txt, _, ref_score, _ = next(gen)
-        dev_txt = _decode(mapping, out, j)
-        if dev_txt == ref_txt:
-            L = out['length'][j, 0]
-            np.testing.assert_allclose(out['cum'][j, 0] / L, ref_score,
-                                       atol=2e-2)
-        else:
-            # near-tie searches may legitimately diverge (bounded
-            # reservoir vs the reference's heuristic early stop, which
-            # abandons lines the reservoir keeps exploring); the device
-            # must then be at least as good by the shared prospective
-            # cost — never materially worse
-            nch = len(ref_txt)
-            ref_pro = ref_score * nch + 3.0 * abs(nch + 1 - T)
-            assert out['cost'][j, 0] <= ref_pro * 1.005 + 1e-6, \
-                (dev_txt, ref_txt)
+    total = 0
+    divergent = []
+    for seed, depth in SEEDS:
+        config = Seq2SeqConfig(width=8, depth=depth,
+                               voc_size=mapping.voc_size)
+        params = init_params(config, seed=seed)
+        params['char_embedding']['kernel'] *= 400.0
+        enc = make_onehot_batch(mapping, LINES, pad_to=T)
+        # oracle uses the padded length as len0 (like the reference), so
+        # pass the same to the device beam for comparability; reservoir
+        # matched to the reference's effective queue bound
+        # (max_batches * batch_size = 2*T*8 = 192) so the only pruning
+        # difference vanishes
+        src_len = np.full(len(LINES), T, np.int32)
+        bp = beam.BeamParams(reservoir=192, expand=8, beam_width_in=6,
+                             beam_width_out=4)
+        out = {k: np.asarray(v) for k, v in beam.decode_beam(
+            params, config, bp, enc, mapping.get('\n'), src_len).items()}
+        for j in range(len(LINES)):
+            gen = numpy_ref.decode_sequence_beam(
+                params, config.as_dict(), mapping, enc[j],
+                rejection_threshold=0.3, beam_width_in=6,
+                beam_threshold_in=0.2, beam_width_out=4, batch_size=8)
+            ref_txt, _, ref_score, _ = next(gen)
+            dev_txt = _decode(mapping, out, j)
+            total += 1
+            if dev_txt == ref_txt:
+                L = out['length'][j, 0]
+                np.testing.assert_allclose(out['cum'][j, 0] / L, ref_score,
+                                           atol=2e-2)
+            else:
+                divergent.append((seed, depth, j, dev_txt, ref_txt))
+                # the divergent line must never be materially worse
+                nch = len(ref_txt)
+                ref_pro = ref_score * nch + 3.0 * abs(nch + 1 - T)
+                assert out['cost'][j, 0] <= ref_pro * 1.005 + 1e-6, \
+                    (dev_txt, ref_txt)
+    # 0/30 divergence on this backend after the round-2 semantics fixes
+    # (exact final-skim, underspec admission slot, soft attention state
+    # through rejections); allow a single float-tie flip on backends
+    # with different op ordering
+    assert len(divergent) <= 1, (
+        'beam diverges from the oracle on %d/%d lines: %r'
+        % (len(divergent), total, divergent))
 
 
 def test_beam_properties():

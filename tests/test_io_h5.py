@@ -126,3 +126,22 @@ def test_load_relative_weight_names(tmp_path):
     params2 = io_h5.load_weights(path, config)
     np.testing.assert_array_equal(params2['encoder'][1]['kernel'],
                                   params['encoder'][1]['kernel'])
+
+
+def test_truncated_file_fails_loudly(tmp_path):
+    """A weights file missing layer groups for the configured topology
+    must raise (naming the missing layers) instead of silently returning
+    a half-random model; partial=True downgrades to a warning."""
+    import h5py
+    mapping = CharMapping.from_texts(["ab\n"])
+    config = Seq2SeqConfig(width=4, depth=2, voc_size=mapping.voc_size)
+    params = init_params(config, seed=0)
+    path = str(tmp_path / 'model.h5')
+    io_h5.save_model(path, params, config, mapping)
+    with h5py.File(path, 'r+') as f:
+        del f['decoder_lstm_2']
+    with pytest.raises(ValueError, match='decoder_lstm_2'):
+        io_h5.load_weights(path, config)
+    params2 = io_h5.load_weights(path, config, partial=True)
+    np.testing.assert_array_equal(params2['encoder'][1]['bias'],
+                                  params['encoder'][1]['bias'])

@@ -122,7 +122,8 @@ def test_golden_decodes(flagship):
     out_b, _, _, _ = s2s.correct_lines(
         golden['inputs'], fast=False, greedy=False,
         return_alignments=False)
-    # beam ordering can tie-break differently across backends; require
-    # byte equality on at least 90% of lines
-    same = sum(a == b for a, b in zip(out_b, golden['beamed']))
-    assert same >= int(0.9 * len(out_b)), (same, len(out_b))
+    # byte-exact since the beam matches reference pop/admission/state
+    # semantics exactly (0/30 divergence vs the Keras-verified oracle,
+    # tests/test_beam.py); regressions here are semantics bugs, not ties
+    assert out_b == golden['beamed'], [
+        (a, b) for a, b in zip(out_b, golden['beamed']) if a != b]
