@@ -403,15 +403,19 @@ class Sequence2Sequence:
              for l, c in zip(lines, conf or [None] * len(lines))],
             np.int32)
         out = decode_beam(params, self.config, self._beam_params(),
-                          enc, newline, src_len)
+                          enc, newline, src_len,
+                          return_alignments=return_alignments)
         # pack into two device buffers -> two host fetches instead of
         # seven (each fetch is a transport round trip); the alignment
-        # centers only travel when the caller wants alignments
+        # rows only travel when the caller wants alignments
         import jax.numpy as jnp
         f32 = jnp.float32
         big_parts = [out['idx'].astype(f32), out['prob'].astype(f32)]
         if return_alignments:
-            big_parts.append(out['align_pos'].astype(f32))
+            big_parts.append(out['align_start'].astype(f32))
+            Bb, Fb, Sb, WINb = out['align_row'].shape
+            big_parts.append(
+                out['align_row'].astype(f32).reshape(Bb, Fb, Sb * WINb))
         big = np.asarray(jnp.concatenate(big_parts, axis=2))
         small = np.asarray(jnp.concatenate(
             [out['length'].astype(f32), out['cost'].astype(f32),
@@ -421,8 +425,11 @@ class Sequence2Sequence:
         F = out['length'].shape[1]
         out = dict(idx=big[:, :, :S].astype(np.int32),
                    prob=big[:, :, S:2 * S],
-                   align_pos=(big[:, :, 2 * S:].astype(np.int32)
-                              if return_alignments else None),
+                   align_start=(big[:, :, 2 * S:3 * S].astype(np.int32)
+                                if return_alignments else None),
+                   align_row=(big[:, :, 3 * S:].reshape(
+                       big.shape[0], F, S, -1)
+                       if return_alignments else None),
                    length=small[:, :F].astype(np.int32),
                    cost=small[:, F:2 * F], cum=small[:, 2 * F:3 * F],
                    count=small[:, 3 * F].astype(np.int32))
@@ -449,9 +456,19 @@ class Sequence2Sequence:
             out_probs.append(out['prob'][j, 0, :L].tolist())
             out_scores.append(float(out['cum'][j, 0] / max(L, 1)))
             if return_alignments:
-                centers = out['align_pos'][j, 0, :L]
-                align = np.eye(T, dtype=np.float32)[
-                    np.clip(centers, 0, T - 1)]
+                # expand the windowed soft rows to full (L, T) soft
+                # alignment matrices (one-hot rows for rejection steps,
+                # raw attention rows otherwise) — the same soft scores
+                # the reference's Viterbi re-alignment and repl plots
+                # consume (reference transcode.py:279-349)
+                rows = out['align_row'][j, 0, :L]
+                starts = out['align_start'][j, 0, :L]
+                align = np.zeros((L, T), np.float32)
+                win = rows.shape[-1]
+                for step in range(L):
+                    start = int(starts[step])
+                    n = min(win, T - start)
+                    align[step, start:start + n] = rows[step, :n]
                 out_aligns.append(align.tolist())
             else:
                 out_aligns.append([])

@@ -43,9 +43,10 @@ Deviations (documented):
   max_batches*batch_size nodes globally, seq2seq.py:1530-1532),
 - `len0` is passed by the caller (the reference uses the batch-padded
   length; models/api.py passes the true per-line source length),
-- per-step alignments are recorded as their window centers only;
-  downstream hard alignment paths are built from the centers instead of
-  Viterbi over a dense soft-alignment matrix (transcode.py:279-349),
+- per-step soft alignments are recorded as windowed rows (WIN floats +
+  a start offset) rather than dense length-T vectors; outside the
+  attention window the reference's scores are exactly zero, so the
+  host-side expansion (models/api.py) is lossless,
 - finals popped past the bank's F best are dropped rather than kept in
   an unbounded final_beam (the reference can yield arbitrarily many
   solutions; callers only ever consume the best few).
@@ -198,9 +199,11 @@ def beam_decoder_step(params, config, feedback, layer_states, aw, astart,
     return probs, tuple(new_states), a_w, new_start, exp_pos, lm_probs
 
 
-@functools.partial(jax.jit, static_argnames=('config', 'bp', 'max_steps'))
+@functools.partial(jax.jit, static_argnames=('config', 'bp', 'max_steps',
+                                             'return_alignments'))
 def decode_beam(params, config: Seq2SeqConfig, bp: BeamParams, enc_input,
-                newline_idx, src_len, max_steps=None):
+                newline_idx, src_len, max_steps=None,
+                return_alignments=False):
     """Beam-decode a batch of lines entirely on device.
 
     enc_input: (B, T, V) source vectors; src_len: (B,) per-line source
@@ -208,6 +211,13 @@ def decode_beam(params, config: Seq2SeqConfig, bp: BeamParams, enc_input,
     finished bank, best-first: 'idx' (B,F,S), 'prob' (B,F,S), 'length'
     (B,F), 'cost' (B,F) prospective cost, 'cum' (B,F) cumulative -log p,
     'count' (B,), and per-step alignment centers 'align_pos' (B,F,S).
+
+    With `return_alignments`, also 'align_row' (B,F,S,WIN) windowed soft
+    alignment rows and 'align_start' (B,F,S) their window offsets — the
+    full per-step bookkeeping alignments (one-hot for rejection steps,
+    the raw soft attention row otherwise, reference
+    seq2seq.py:1495/1510), for soft-score Viterbi re-alignment
+    (transcode.py:279-349) and repl plots.
     """
     from .seq2seq import ensure_onehot
     enc_input = ensure_onehot(enc_input, config, params)
@@ -278,6 +288,14 @@ def decode_beam(params, config: Seq2SeqConfig, bp: BeamParams, enc_input,
         rec_p=jnp.zeros((B, S, R), attended.dtype),
         rec_ap=jnp.zeros((B, S, R), jnp.int32),
         rec_parent=jnp.zeros((B, S, R), jnp.int32),
+        # full windowed soft alignment rows, only when requested (the
+        # (B,S,R,WIN) buffer is the largest in the loop)
+        rec_arow=(jnp.zeros((B, S, R, WIN), attended.dtype)
+                  if return_alignments
+                  else jnp.zeros((0,), attended.dtype)),
+        rec_astart=(jnp.zeros((B, S, R), jnp.int32)
+                    if return_alignments
+                    else jnp.zeros((0,), jnp.int32)),
         bank_cost=jnp.full((B, F), INF, jnp.float32),
         bank_cum=jnp.full((B, F), INF, jnp.float32),
         bank_len=jnp.zeros((B, F), jnp.int32),
@@ -518,6 +536,24 @@ def decode_beam(params, config: Seq2SeqConfig, bp: BeamParams, enc_input,
             jnp.where(is_old, 0, cand_of(cand_p)))
         rec_ap = s['rec_ap'].at[:, t, :].set(
             jnp.where(is_old, 0, cand_of(c_center)))
+        rec_arow, rec_astart = s['rec_arow'], s['rec_astart']
+        if return_alignments:
+            # bookkeeping alignment row per new node: one-hot at
+            # src_pos for rejection candidates (window start =
+            # src_pos, weight 1 at offset 0), the step's raw soft
+            # windowed row otherwise (reference node.alignment,
+            # seq2seq.py:1495/1510)
+            soft_rows = _sel_rows(par_k, a_w, K)          # (B, R, WIN)
+            onehot0 = (jnp.zeros((B, R, WIN), a_w.dtype)
+                       .at[:, :, 0].set(1.0))
+            rows = jnp.where(sel_isrej[..., None], onehot0, soft_rows)
+            starts = jnp.where(sel_isrej, sel_srcpos,
+                               jnp.take_along_axis(a_start, par_k,
+                                                   axis=1))
+            rec_arow = rec_arow.at[:, t, :, :].set(
+                jnp.where(is_old[..., None], 0.0, rows))
+            rec_astart = rec_astart.at[:, t, :].set(
+                jnp.where(is_old, 0, starts))
 
         # feedback for new nodes: parent boosted probs with better-ranked
         # candidate maxima zeroed (seq2seq.py:1515-1520)
@@ -554,7 +590,8 @@ def decode_beam(params, config: Seq2SeqConfig, bp: BeamParams, enc_input,
                     nchars=new_nchars,
                     is_fin=new_isfin, done=done,
                     rec_parent=rec_parent, rec_char=rec_char, rec_p=rec_p,
-                    rec_ap=rec_ap, **new_bank)
+                    rec_ap=rec_ap, rec_arow=rec_arow,
+                    rec_astart=rec_astart, **new_bank)
 
     def cond(s):
         return (s['t'] < S) & ~jnp.all(s['done'])
@@ -573,9 +610,13 @@ def decode_beam(params, config: Seq2SeqConfig, bp: BeamParams, enc_input,
     idx0 = jnp.zeros((B, F, S), jnp.int32)
     prob0 = jnp.zeros((B, F, S), attended.dtype)
     ap0 = jnp.zeros((B, F, S), jnp.int32)
+    arow0 = (jnp.zeros((B, F, S, WIN), attended.dtype)
+             if return_alignments else jnp.zeros((0,), attended.dtype))
+    ast0 = (jnp.zeros((B, F, S), jnp.int32)
+            if return_alignments else jnp.zeros((0,), jnp.int32))
 
     def walk(carry, tt):
-        pos, outpos, idx, prob, ap = carry
+        pos, outpos, idx, prob, ap, arow, ast = carry
         rc = jnp.take_along_axis(
             jax.lax.dynamic_index_in_dim(s['rec_char'], tt, 1, False),
             pos, axis=1)                                       # (B, F)
@@ -594,19 +635,34 @@ def decode_beam(params, config: Seq2SeqConfig, bp: BeamParams, enc_input,
         idx = idx.at[bix, fix, wpos].set(rc, mode='drop')
         prob = prob.at[bix, fix, wpos].set(rp, mode='drop')
         ap = ap.at[bix, fix, wpos].set(ra, mode='drop')
+        if return_alignments:
+            rrow = jnp.take_along_axis(
+                jax.lax.dynamic_index_in_dim(s['rec_arow'], tt, 1, False),
+                pos[..., None], axis=1)                    # (B, F, WIN)
+            rast = jnp.take_along_axis(
+                jax.lax.dynamic_index_in_dim(s['rec_astart'], tt, 1,
+                                             False),
+                pos, axis=1)
+            arow = arow.at[bix, fix, wpos].set(rrow, mode='drop')
+            ast = ast.at[bix, fix, wpos].set(rast, mode='drop')
         outpos = outpos - emit.astype(jnp.int32)
         pos = jnp.where(active, rpar, pos)
-        return (pos, outpos, idx, prob, ap), None
+        return (pos, outpos, idx, prob, ap, arow, ast), None
 
     # the banked node's own newline record is part of its trie chain, so
     # the walk emits the complete text including the final char
-    carry0 = (s['bank_parent'], fin_len - 1, idx0, prob0, ap0)
-    (pos, outpos, idx, prob, ap), _ = jax.lax.scan(
+    carry0 = (s['bank_parent'], fin_len - 1, idx0, prob0, ap0, arow0,
+              ast0)
+    (pos, outpos, idx, prob, ap, arow, ast), _ = jax.lax.scan(
         walk, carry0, jnp.arange(S - 1, -1, -1))
     # expose only beam_width_out solutions (the extra internal slot
     # exists for the reference's early-stop rule)
     Fo = bp.beam_width_out
-    return dict(idx=idx[:, :Fo], prob=prob[:, :Fo],
-                length=s['bank_len'][:, :Fo], cost=s['bank_cost'][:, :Fo],
-                cum=s['bank_cum'][:, :Fo],
-                count=jnp.minimum(count, Fo), align_pos=ap[:, :Fo])
+    out = dict(idx=idx[:, :Fo], prob=prob[:, :Fo],
+               length=s['bank_len'][:, :Fo], cost=s['bank_cost'][:, :Fo],
+               cum=s['bank_cum'][:, :Fo],
+               count=jnp.minimum(count, Fo), align_pos=ap[:, :Fo])
+    if return_alignments:
+        out['align_row'] = arow[:, :Fo]
+        out['align_start'] = ast[:, :Fo]
+    return out

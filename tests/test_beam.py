@@ -125,3 +125,42 @@ def test_beam_rejection_echoes_input():
         params, config, bp, enc, mapping.get('\n'), src_len).items()}
     texts = [_decode(mapping, out, 0, f) for f in range(out['count'][0])]
     assert "abba dig.\n" in texts
+
+
+def test_beam_soft_alignments_match_oracle():
+    """With return_alignments, the beam yields full per-step soft
+    alignment rows (one-hot for rejection steps, raw attention rows
+    otherwise) matching the reference-semantics oracle's node.alignment
+    sequence — the inputs to soft-score Viterbi re-alignment
+    (reference transcode.py:279-349)."""
+    mapping = CharMapping.from_texts(["abcdefghij .,\n"])
+    config = Seq2SeqConfig(width=8, depth=2, voc_size=mapping.voc_size)
+    params = init_params(config, seed=7)
+    params['char_embedding']['kernel'] *= 400.0
+    enc = make_onehot_batch(mapping, LINES, pad_to=T)
+    src_len = np.full(len(LINES), T, np.int32)
+    bp = beam.BeamParams(reservoir=192, expand=8, beam_width_in=6,
+                         beam_width_out=4)
+    out = {k: np.asarray(v) for k, v in beam.decode_beam(
+        params, config, bp, enc, mapping.get('\n'), src_len,
+        return_alignments=True).items()}
+    for j in range(len(LINES)):
+        gen = numpy_ref.decode_sequence_beam(
+            params, config.as_dict(), mapping, enc[j],
+            rejection_threshold=0.3, beam_width_in=6,
+            beam_threshold_in=0.2, beam_width_out=4, batch_size=8)
+        ref_txt, _, _, ref_aligns = next(gen)
+        L = out['length'][j, 0]
+        dev_txt = _decode(mapping, out, j)
+        assert dev_txt == ref_txt
+        # expand windowed rows to dense (L, T) like models/api.py does
+        rows, starts = out['align_row'][j, 0], out['align_start'][j, 0]
+        win = rows.shape[-1]
+        for step in range(L):
+            dense = np.zeros(T, np.float32)
+            start = int(starts[step])
+            n = min(win, T - start)
+            dense[start:start + n] = rows[step, :n]
+            ref_row = np.asarray(ref_aligns[step], np.float32).reshape(-1)
+            np.testing.assert_allclose(dense, ref_row, atol=5e-3,
+                                       err_msg=f'line {j} step {step}')
