@@ -1,19 +1,25 @@
-"""Benchmark: on-device greedy decode throughput vs reference-style baseline.
+"""Benchmark: on-device decode throughput vs the real reference baseline.
 
 Measures lines/sec of the flagship configuration (depth 2, width 512 —
 the reference's pretrained topology, SURVEY.md 6) decoding realistic OCR
-lines greedily on one TPU chip, fully on-device.
+lines on one TPU chip, fully on-device, in BOTH decode modes:
+- greedy (the reference's "fast mode", lib/seq2seq.py:1215-1286),
+- beamed (A* with rejection, lib/seq2seq.py:1356-1544).
 
-The baseline denominator re-creates the reference's execution structure
-(one host round trip per character through the same math,
-lib/seq2seq.py:1243-1246) using the NumPy golden-reference model on the
-host CPU, measured on a reduced batch and extrapolated per line. This is
-the same role TF1's CPU session filled for the reference.
+The baseline denominator runs the REFERENCE'S OWN code: tests/keras_ref
+loads the same flagship h5 into the genuine Sequence2Sequence class
+(three Keras graphs under tf_keras) and times its real
+decode_batch_greedy host loop at the reference's default batch size and
+its real per-line decode_sequence_beam, on the same lines. When the
+reference checkout or tf_keras is unavailable the greedy baseline falls
+back to the NumPy host-loop proxy (flagged in the output).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus
+auxiliary keys ("beam", "baseline") the driver ignores.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -130,10 +136,40 @@ def bench_tpu(params, config, mapping, enc, repeats=20):
     return repeats * enc.shape[0] / dt, steps
 
 
-def bench_baseline(params, config, mapping, enc, full_steps, sample=4,
-                   max_steps=24):
-    """Reference-structure decode (host loop per character) on a small
-    sample, extrapolated to the measured decode length per line."""
+def bench_tpu_beam(params, config, mapping, enc, src_len, repeats=5):
+    """Beamed decode throughput at serving settings (BeamParams
+    defaults = the reference's widths 15/16, rejection 0.3), bf16
+    compute, chained like bench_tpu."""
+    import jax
+    import jax.numpy as jnp
+    from cor_asv_ann_tpu.models.beam import BeamParams, decode_beam
+    newline = mapping.get('\n')
+    params = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a).astype(jnp.bfloat16), params)
+    enc = jax.device_put(enc)
+    src_len = jax.device_put(src_len)
+    bp = BeamParams()
+    out = decode_beam(params, config, bp, enc, newline, src_len)
+    np.asarray(out['count'])  # compile + full sync
+    e = enc
+    for _ in range(2):  # throwaway: compiles the chain ops
+        out = decode_beam(params, config, bp, e, newline, src_len)
+        e = e + (out['cum'][0, 0] * 0).astype(e.dtype)
+    np.asarray(out['count'])
+    t0 = time.perf_counter()
+    e = enc
+    for _ in range(repeats):
+        out = decode_beam(params, config, bp, e, newline, src_len)
+        e = e + (out['cum'][0, 0] * 0).astype(e.dtype)
+    np.asarray(out['count'])
+    dt = time.perf_counter() - t0
+    return repeats * enc.shape[0] / dt
+
+
+def bench_baseline_numpy(params, config, mapping, enc, full_steps,
+                         sample=4, max_steps=24):
+    """Fallback denominator: reference-structure decode (host loop per
+    character) via the NumPy golden model, extrapolated."""
     from cor_asv_ann_tpu.lib import numpy_ref
     cfg = config.as_dict()
     sub = enc[:sample]
@@ -141,11 +177,58 @@ def bench_baseline(params, config, mapping, enc, full_steps, sample=4,
     numpy_ref.decode_batch_greedy(params, cfg, mapping, sub,
                                   max_steps=max_steps)
     dt = time.perf_counter() - t0
-    # the reference loops until every line terminates (same step count
-    # the TPU while_loop measured); scale the measured per-step-per-line
-    # cost accordingly (batch-linear matmul cost)
     per_line = dt / sample * (full_steps / max_steps)
     return 1.0 / per_line
+
+
+def bench_baseline_reference(enc, model_path, greedy_batch=256,
+                             greedy_steps=24, beam_lines=2):
+    """The authoritative denominators: the reference's own decode loops
+    (genuine Sequence2Sequence running under tf_keras, loading the same
+    flagship h5) timed on the same lines.
+
+    - greedy: per-step cost of decode_batch_greedy's predict_on_batch
+      loop at the reference's default batch_size (256), scaled to the
+      full 2*T steps the reference always runs (no early exit,
+      seq2seq.py:1243);
+    - beamed: decode_sequence_beam 1-best, timed per line (the
+      reference serves beams line-serially, seq2seq.py:810-836).
+
+    Returns (greedy_lines_per_sec, beam_lines_per_sec) or None if the
+    reference checkout / tf_keras is unavailable.
+    """
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), 'tests'))
+    try:
+        import keras_ref
+        if not keras_ref.available():
+            return None
+        s2s = keras_ref.reference_s2s(model_path, t_enc=enc.shape[1])
+    except Exception as exc:  # pragma: no cover - env-dependent
+        sys.stderr.write('bench: reference baseline unavailable (%s)\n'
+                         % exc)
+        return None
+    T = enc.shape[1]
+    batch = np.ascontiguousarray(
+        np.resize(enc, (greedy_batch,) + enc.shape[1:]))
+    # one throwaway step compiles the tf.functions
+    enc_out = s2s.encoder_model.predict_on_batch(batch)
+    states = list(enc_out[1:])
+    dec = np.zeros((greedy_batch, 1, s2s.voc_size), np.float32)
+    out = s2s.decoder_model.predict_on_batch(
+        [dec, enc_out[0]] + states)
+    t0 = time.perf_counter()
+    for _ in range(greedy_steps):
+        out = s2s.decoder_model.predict_on_batch(
+            [out[0][:, -1:], enc_out[0]] + list(out[1:]))
+    per_step = (time.perf_counter() - t0) / greedy_steps
+    greedy_lps = greedy_batch / (per_step * 2 * T)
+
+    t0 = time.perf_counter()
+    for j in range(beam_lines):
+        next(s2s.decode_sequence_beam(source_seq=enc[j]))
+    beam_lps = beam_lines / (time.perf_counter() - t0)
+    return greedy_lps, beam_lps
 
 
 def main():
@@ -176,13 +259,37 @@ def main():
     batch, min_len, pad = 1024, 50, 64
     enc = make_flagship_lines(mapping, batch, min_len, pad)
     lines_per_sec, steps = bench_tpu(params, config, mapping, enc)
-    baseline = bench_baseline(params, config, mapping, enc, steps)
-    print(json.dumps({
+    # beamed serving point: batch 256 lines, serving beam settings
+    beam_batch = 256
+    src_len = np.sum(np.any(enc[:beam_batch] != 0, axis=2),
+                     axis=1).astype(np.int32)
+    beam_lps = bench_tpu_beam(params, config, mapping, enc[:beam_batch],
+                              src_len)
+    model_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              FLAGSHIP)
+    ref = bench_baseline_reference(enc[:8], model_path)
+    if ref is not None:
+        base_greedy, base_beam = ref
+        baseline_kind = 'reference_tf_keras'
+    else:
+        base_greedy = bench_baseline_numpy(params, config, mapping, enc,
+                                           steps)
+        base_beam = None
+        baseline_kind = 'numpy_host_proxy'
+    result = {
         'metric': 'greedy_decode_throughput_d2w512',
         'value': round(lines_per_sec, 2),
         'unit': 'lines/sec/chip',
-        'vs_baseline': round(lines_per_sec / baseline, 2),
-    }))
+        'vs_baseline': round(lines_per_sec / base_greedy, 2),
+        'baseline': baseline_kind,
+        'beam': {
+            'value': round(beam_lps, 2),
+            'unit': 'lines/sec/chip',
+            'vs_baseline': (round(beam_lps / base_beam, 2)
+                            if base_beam else None),
+        },
+    }
+    print(json.dumps(result))
     watchdog.cancel()
 
 
