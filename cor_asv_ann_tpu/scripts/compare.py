@@ -2,7 +2,10 @@
 
 Model-free 1:n comparison of PAGE-XML or plain-text files, producing a
 JSON report with per-line CER/WER, aggregate statistics, worst lines,
-confusion tables and histograms.
+confusion tables and histograms.  The option surface and report schema
+follow the reference; the implementation is organized around a
+per-pair streaming accumulator (PairStats) instead of parallel aligner
+lists.
 """
 
 import json
@@ -31,19 +34,113 @@ def get_lines(fname, flist=False):
             return page_get_lines(doc, 'id')
         except Exception:
             pass
-    lines = rawlines
-    if flist:
-        # ocropy style (e.g. -F <(ls -1 *.gt.txt) <(ls -1 *.ocr.txt))
-        files = lines
-        lines = dict()
-        for fname2 in files:
-            with open(fname2, 'r', encoding='utf-8') as fd:
-                key = fname2
-                if fname2.endswith('.txt'):
-                    dirname, basename = os.path.split(fname2)
-                    key = os.path.join(dirname, basename.split('.')[0])
-                lines[key] = fd.readline()
-    return lines
+    if not flist:
+        return rawlines
+    # ocropy convention: each entry is the path of a single-line file
+    # (e.g. -F <(ls -1 *.gt.txt) <(ls -1 *.ocr.txt)); key by the path
+    # with extensions stripped so GT/OCR lists with different suffixes
+    # still pair up
+    by_key = {}
+    for path in rawlines:
+        key = path
+        if path.endswith('.txt'):
+            parent, leaf = os.path.split(path)
+            key = os.path.join(parent, leaf.split('.')[0])
+        with open(path, 'r', encoding='utf-8') as fd:
+            by_key[key] = fd.readline()
+    return by_key
+
+
+def iter_keyed(lines):
+    """Yield (key, line) whether `lines` is a dict or a list."""
+    if isinstance(lines, dict):
+        yield from lines.items()
+    else:
+        yield from enumerate(lines)
+
+
+def lookup(lines, key):
+    """Return lines[key], or None when absent (dict or list)."""
+    if isinstance(lines, dict):
+        return lines.get(key)
+    return lines[key] if key < len(lines) else None
+
+
+class PairStats:
+    """Streaming CER/WER statistics for one (OCR file, GT file) pair."""
+
+    def __init__(self, log, metric, gt_level, want_confusion,
+                 want_histogram):
+        self.log = log
+        self.metric = metric
+        self.gt_level = gt_level
+        self.chars = Edits(logger=log, histogram=want_histogram)
+        self.words = Edits(logger=log)
+        self.char_aligner = Alignment(logger=log,
+                                      confusion=want_confusion)
+        self.word_aligner = Alignment(logger=log)
+        self.records = []
+
+    def _distances(self, ocr_line, gt_line, ocr_words, gt_words):
+        if self.metric == 'Levenshtein-fast':
+            cdist = self.char_aligner.get_levenshtein_distance(
+                ocr_line, gt_line)
+            wdist = self.word_aligner.get_levenshtein_distance(
+                ocr_words, gt_words)
+            return cdist, wdist
+        norm = None if self.metric == 'Levenshtein' else self.metric
+        cdist = self.char_aligner.get_adjusted_distance(
+            ocr_line, gt_line, normalization=norm, gtlevel=self.gt_level)
+        wdist = self.word_aligner.get_adjusted_distance(
+            ocr_words, gt_words, normalization=norm,
+            gtlevel=self.gt_level)
+        return cdist, wdist
+
+    def measure(self, key, ocr_line, gt_line):
+        """Accumulate one line pair and append its report record."""
+        ocr_line, gt_line = ocr_line.strip(), gt_line.strip()
+        length_gap = abs(len(gt_line) - len(ocr_line))
+        if length_gap > 5 and \
+                length_gap > 0.2 * (len(gt_line) + len(ocr_line)):
+            self.log.warning(
+                'length of line %r differs a lot between OCR and GT '
+                '(%d vs %d chars)', key, len(ocr_line), len(gt_line))
+        ocr_words, gt_words = splitwords(ocr_line), splitwords(gt_line)
+        (cdist, clen), (wdist, wlen) = self._distances(
+            ocr_line, gt_line, ocr_words, gt_words)
+        _, edit_ops = Alignment.best_alignment(ocr_line, gt_line, True)
+        self.chars.add(cdist, clen, ocr_line, gt_line, name=str(key))
+        self.words.add(wdist, wlen, ocr_words, gt_words, name=str(key))
+        self.records.append({str(key): {
+            'char-length': len(gt_line),
+            'char-error-rate': cdist / clen if clen else 0,
+            'word-error-rate': wdist / wlen if wlen else 0,
+            'gt': gt_line, 'ocr': ocr_line,
+            'edits': repr(edit_ops)}})
+
+    def missing(self, key):
+        self.records.append({str(key): 'missing'})
+
+    def summary(self, confusion_count, want_histogram):
+        """The pair-level report section (schema per the reference)."""
+        section = {
+            'lines': self.records,
+            'num-lines': self.chars.steps,
+            'num-words': self.words.length,
+            'num-chars': self.chars.length,
+            'char-error-rate-mean': self.chars.mean,
+            'char-error-rate-varia': self.chars.varia,
+            'word-error-rate-mean': self.words.mean,
+            'word-error-rate-varia': self.words.varia,
+            'char-error-worst-lines': [str(example)
+                                       for example in self.chars.worst],
+        }
+        if confusion_count and self.chars.length:
+            section['confusion'] = repr(
+                self.char_aligner.get_confusion(confusion_count))
+        if want_histogram:
+            section['histogram'] = repr(self.chars.hist())
+        return section
 
 
 @click.command(context_settings=CONTEXT_SETTINGS)
@@ -84,90 +181,36 @@ def cli(output_file, normalization, gt_level, confusion, histogram,
         datefmt='%H:%M:%S', level=logging.INFO)
     log = logging.getLogger(__name__)
 
-    caligners = [Alignment(logger=log, confusion=bool(confusion))
-                 for _ in ocr_files]
-    waligners = [Alignment(logger=log) for _ in ocr_files]
-    cedits = [Edits(logger=log, histogram=bool(histogram))
-              for _ in ocr_files]
-    wedits = [Edits(logger=log) for _ in ocr_files]
-    log.info('processing %r', gt_file)
+    log.info('reading GT from %r', gt_file)
     gt_lines = get_lines(gt_file, file_lists)
     if not gt_lines:
         log.critical('file %r contains no text lines to compare', gt_file)
         sys.exit(1)
-    report = dict()
-    for i, ocr_file in enumerate(ocr_files):
-        log.info('processing %r', ocr_file)
+    report = {}
+    for ocr_file in ocr_files:
+        log.info('comparing %r against GT', ocr_file)
         ocr_lines = get_lines(ocr_file, file_lists)
         if not ocr_lines:
-            log.error('file %r contains no text lines to compare', ocr_file)
+            log.error('file %r contains no text lines to compare',
+                      ocr_file)
             continue
-        pair = ocr_file + ',' + gt_file
-        line_ids = (ocr_lines.keys() if isinstance(ocr_lines, dict)
-                    else range(len(ocr_lines)))
-        for line_id in line_ids:
-            report.setdefault(pair, dict()).setdefault('lines', list())
-            has_line = (line_id in gt_lines
-                        if isinstance(gt_lines, dict)
-                        else line_id < len(gt_lines))
-            if not has_line:
-                log.error('line %r in file %r is missing from GT file %r',
-                          line_id, ocr_file, gt_file)
-                report[pair]['lines'].append({str(line_id): 'missing'})
-                continue
-            gt_line = gt_lines[line_id].strip()
-            gt_words = splitwords(gt_line)
-            ocr_line = ocr_lines[line_id].strip()
-            ocr_words = splitwords(ocr_line)
-            if 0.2 * (len(gt_line) + len(ocr_line)) < \
-                    math.fabs(len(gt_line) - len(ocr_line)) > 5:
-                log.warning('line %r in file %r deviates significantly in '
-                            'length (%d vs %d)', line_id, ocr_file,
-                            len(gt_line), len(ocr_line))
-            if normalization == 'Levenshtein-fast':
-                cdist, clen = caligners[i].get_levenshtein_distance(
-                    ocr_line, gt_line)
-                wdist, wlen = waligners[i].get_levenshtein_distance(
-                    ocr_words, gt_words)
+        stats = PairStats(log, normalization, gt_level,
+                          bool(confusion), bool(histogram))
+        for key, ocr_line in iter_keyed(ocr_lines):
+            gt_line = lookup(gt_lines, key)
+            if gt_line is None:
+                log.error('line %r of %r has no counterpart in GT %r',
+                          key, ocr_file, gt_file)
+                stats.missing(key)
             else:
-                norm = None if normalization == 'Levenshtein' \
-                    else normalization
-                cdist, clen = caligners[i].get_adjusted_distance(
-                    ocr_line, gt_line, normalization=norm,
-                    gtlevel=gt_level)
-                wdist, wlen = waligners[i].get_adjusted_distance(
-                    ocr_words, gt_words, normalization=norm,
-                    gtlevel=gt_level)
-            _, conf = Alignment.best_alignment(ocr_line, gt_line, True)
-            cedits[i].add(cdist, clen, ocr_line, gt_line, name=str(line_id))
-            wedits[i].add(wdist, wlen, ocr_words, gt_words,
-                          name=str(line_id))
-            report[pair]['lines'].append({str(line_id): {
-                'char-length': len(gt_line),
-                'char-error-rate': cdist / clen if clen else 0,
-                'word-error-rate': wdist / wlen if wlen else 0,
-                'gt': gt_line, 'ocr': ocr_line,
-                'edits': repr(conf)}})
-        log.info('%5d lines %.3f±%.3f CER %.3f±%.3f WER %s vs %s',
-                 cedits[i].length, cedits[i].mean,
-                 math.sqrt(cedits[i].varia), wedits[i].mean,
-                 math.sqrt(wedits[i].varia), ocr_file, gt_file)
-        report[pair]['num-lines'] = cedits[i].steps
-        report[pair]['num-words'] = wedits[i].length
-        report[pair]['num-chars'] = cedits[i].length
-        report[pair]['char-error-rate-mean'] = cedits[i].mean
-        report[pair]['char-error-rate-varia'] = cedits[i].varia
-        report[pair]['word-error-rate-mean'] = wedits[i].mean
-        report[pair]['word-error-rate-varia'] = wedits[i].varia
-        report[pair]['char-error-worst-lines'] = [
-            str(example) for example in cedits[i].worst]
-        if confusion and cedits[i].length:
-            conf = caligners[i].get_confusion(confusion)
-            log.info('most frequent confusion / %s vs %s: %s', gt_file,
-                     ocr_file, conf)
-            report[pair]['confusion'] = repr(conf)
-        if histogram:
-            report[pair]['histogram'] = repr(cedits[i].hist())
+                stats.measure(key, ocr_line, gt_line)
+        log.info('%5d lines CER %.3f±%.3f WER %.3f±%.3f for %s vs %s',
+                 stats.chars.length, stats.chars.mean,
+                 math.sqrt(stats.chars.varia), stats.words.mean,
+                 math.sqrt(stats.words.varia), ocr_file, gt_file)
+        report[ocr_file + ',' + gt_file] = stats.summary(
+            confusion, histogram)
+
     output = sys.stdout if output_file == '-' else open(output_file, 'w')
     json.dump(report, output, indent=2, ensure_ascii=False)
     if output is not sys.stdout:

@@ -133,51 +133,62 @@ class CharMapping:
         return CharMapping(chars), True
 
 
-def _iter_file_lines(filename, unsupervised=False, charmap=None):
-    """Yield (source_text, source_conf_or_None, target_text) per line.
+def _parse_pickled_entry(entry):
+    """One pickle entry -> (src_text, src_conf, tgt_text).
 
-    Handles .pkl pickle files (prob lines / confmats) and plain text or
-    TSV files, mirroring reference gen_lines (lib/seq2seq.py:936-979).
-    """
-    with_confidence = filename.endswith('.pkl')
-    if with_confidence:
-        with open(filename, 'rb') as f:
-            entries = pickle.load(f)
+    Three source layouts exist (reference lib/seq2seq.py:949-958 and
+    scripts/train.py:43-48): a plain string, a per-char (char, prob)
+    list, or a confusion network (list of chunks of (string, prob)
+    alternatives).  An entry whose text does not end in a newline is
+    replaced by a bare end-of-sequence, like the reference does
+    (seq2seq.py:961-965)."""
+    src, tgt = entry
+    if not src:
+        text, conf = '', []
+    elif isinstance(src[0], tuple):
+        chars, probs = zip(*src)
+        text, conf = ''.join(chars), list(probs)
     else:
-        entries = open(filename, 'r', encoding='utf-8')
+        conf = src
+        text = ''.join(chunk[0][0] if chunk else '' for chunk in conf)
+    if not text.endswith('\n'):
+        text, conf = '\n', [[('\n', 1.0)]]
+    return text, conf, tgt
+
+
+def _parse_text_row(raw, unsupervised):
+    """One text/TSV row -> (src_text, None, tgt_text); the source side
+    gains the end-of-sequence newline the tab stripped."""
+    if unsupervised and '\t' not in raw:
+        return raw, None, raw
+    src, tgt = raw.split('\t')
+    return src + '\n', None, tgt
+
+
+def _iter_file_lines(filename, unsupervised=False, charmap=None):
+    """Yield NFC-normalized (source_text, source_conf_or_None,
+    target_text) per line of a .pkl (prob lines / confmats) or
+    plain-text/TSV file (reference gen_lines, lib/seq2seq.py:936-979).
+    """
+    handle = None
+    if filename.endswith('.pkl'):
+        with open(filename, 'rb') as f:
+            rows = [_parse_pickled_entry(e) for e in pickle.load(f)]
+    else:
+        handle = open(filename, 'r', encoding='utf-8')
+        rows = (_parse_text_row(raw, unsupervised) for raw in handle)
     try:
-        for line in entries:
-            source_conf = None
-            if with_confidence:
-                source_text, target_text = line
-                if not source_text:
-                    source_text, source_conf = '', []
-                elif isinstance(source_text[0], tuple):  # prob line
-                    chars, probs = zip(*source_text)
-                    source_text, source_conf = ''.join(chars), list(probs)
-                else:  # confmat
-                    source_conf = source_text
-                    source_text = ''.join(
-                        chunk[0][0] if chunk else '' for chunk in source_conf)
-                if not source_text.endswith('\n'):
-                    source_conf = [[('\n', 1.0)]]
-                    source_text = '\n'
-            elif unsupervised and '\t' not in line:
-                source_text = target_text = line
-            else:
-                source_text, target_text = line.split('\t')
-                source_text = source_text + '\n'
+        for src, conf, tgt in rows:
             if unsupervised:
-                target_text = source_text
+                tgt = src
             if charmap:
-                source_text = source_text.translate(charmap)
-                target_text = target_text.translate(charmap)
-            source_text = unicodedata.normalize('NFC', source_text)
-            target_text = unicodedata.normalize('NFC', target_text)
-            yield source_text, source_conf, target_text
+                src = src.translate(charmap)
+                tgt = tgt.translate(charmap)
+            yield (unicodedata.normalize('NFC', src), conf,
+                   unicodedata.normalize('NFC', tgt))
     finally:
-        if not with_confidence:
-            entries.close()
+        if handle:
+            handle.close()
 
 
 def scan_files(filenames, charmap=None):

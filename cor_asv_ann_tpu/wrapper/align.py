@@ -77,81 +77,104 @@ def page_get_line_sequences(doc, logger=None):
     return result
 
 
+class _Lattice:
+    """Growing N-way character lattice.
+
+    One row per lattice position; each row holds the aligned chunk and a
+    confidence for every input sequence.  Inputs are woven in one at a
+    time along their pairwise alignment with an already-woven anchor
+    input; rows fuse (or alignment entries coalesce) whenever the two
+    sides chunk the anchor text differently."""
+
+    def __init__(self, num_inputs):
+        self.num_inputs = num_inputs
+        self.rows = []       # [chunk per input] per lattice position
+        self.row_confs = []  # [confidence per input] per position
+
+    def seed(self, idx, text, confs):
+        """Initialize one row per character of the first input."""
+        for char, conf in zip(text, confs):
+            row = [''] * self.num_inputs
+            row_conf = [1.0] * self.num_inputs
+            row[idx] = char
+            row_conf[idx] = conf
+            self.rows.append(row)
+            self.row_confs.append(row_conf)
+
+    def _fuse_rows(self, at):
+        """Collapse rows at/at+1 (chunks concatenate, confs average):
+        the incoming alignment groups more anchor text into one chunk
+        than the lattice currently does."""
+        tail, tail_conf = self.rows.pop(at + 1), self.row_confs.pop(at + 1)
+        self.rows[at] = [a + b for a, b in zip(self.rows[at], tail)]
+        self.row_confs[at] = [avg([a, b]) for a, b
+                              in zip(self.row_confs[at], tail_conf)]
+
+    def _spill(self, idx, chunk, confs):
+        """Attach overflow beyond the lattice end to the final row
+        (every earlier input was shorter here)."""
+        self.rows[-1][idx] += chunk
+        self.row_confs[-1][idx] = avg([self.row_confs[-1][idx]] + confs)
+
+    def weave(self, anchor, idx, alignment, confs):
+        """Merge input `idx` into the lattice along its (mutable)
+        pairwise alignment with the already-woven `anchor` input."""
+        row = 0
+        src_from = 0  # consumed chars of input idx
+        entry = 0
+        while entry < len(alignment):
+            anchor_chunk = alignment[entry][0] or ''
+            new_chunk = alignment[entry][1] or ''
+            src_to = src_from + len(new_chunk)
+            if row == len(self.rows):
+                self._spill(idx, new_chunk, confs[src_from:src_to])
+                src_from = src_to
+                entry += 1
+                continue
+            have = self.rows[row][anchor]
+            if len(anchor_chunk) > len(have):
+                self._fuse_rows(row)
+            elif len(anchor_chunk) < len(have):
+                # coalesce alignment entries entry/entry+1 instead
+                next_a, next_b = alignment[entry + 1]
+                alignment[entry] = (anchor_chunk + (next_a or ''),
+                                    new_chunk + (next_b or ''))
+                del alignment[entry + 1]
+            else:
+                self.rows[row][idx] = new_chunk
+                self.row_confs[row][idx] = (avg(confs[src_from:src_to])
+                                            if src_to > src_from else 1.0)
+                src_from = src_to
+                row += 1
+                entry += 1
+
+
 def nway_align(charseqs, confseqs, aligner):
     """Expand pairwise alignments into an N-way character lattice.
 
     Returns (chars, confs): parallel lists over lattice positions of
     per-input alternative strings and confidences
     (reference align.py:127-219)."""
-    nseqs = len(charseqs)
-    alignments = dict()
-    distances = dict()
-    for i, seq1 in enumerate(charseqs):
-        for j, seq2 in enumerate(charseqs[i + 1:], i + 1):
-            dist, _, align = aligner.get_adjusted_distance(
-                seq1, seq2, normalization=None, gtlevel=1,
+    n = len(charseqs)
+    dist = {}
+    aligns = {}
+    for i in range(n):
+        for j in range(i + 1, n):
+            d, _, pairs = aligner.get_adjusted_distance(
+                charseqs[i], charseqs[j], normalization=None, gtlevel=1,
                 return_alignment=True)
-            distances.setdefault(i, dict())[j] = dist
-            alignments.setdefault(i, dict())[j] = list(align)
-            distances.setdefault(j, dict())[i] = dist
-            alignments.setdefault(j, dict())[i] = [(y, x) for x, y in align]
-    paths = list(itertools.permutations(range(nseqs)))
-    dists = [sum(distances[i][j] for i, j in pairwise(path))
-             for path in paths]
-    path = paths[min(enumerate(dists), key=lambda x: x[1])[0]]
-
-    chars, confs = [], []
-    i = path[0]
-    for char, conf in zip(charseqs[i], confseqs[i]):
-        subchar = [''] * nseqs
-        subconf = [1.0] * nseqs
-        subchar[i] = char
-        subconf[i] = conf
-        chars.append(subchar)
-        confs.append(subconf)
-    for i, j in pairwise(path):
-        starti = startj = 0
-        newpos = oldpos = 0
-        align = alignments[i][j]
-        while newpos < len(align):
-            ci, cj = align[newpos]
-            ci = ci or ''
-            cj = cj or ''
-            endi = starti + len(ci)
-            endj = startj + len(cj)
-            if oldpos == len(chars):
-                # previous alignments were all shorter
-                chars[oldpos - 1][j] += cj
-                confs[oldpos - 1][j] = avg(
-                    [confs[oldpos - 1][j]] + confseqs[j][startj:endj])
-                newpos += 1
-                startj = endj
-                continue
-            subchars = chars[oldpos]
-            subconfs = confs[oldpos]
-            if len(ci) > len(subchars[i]):
-                # merge lattice positions oldpos/oldpos+1
-                nextsub = chars[oldpos + 1]
-                nextconf = confs[oldpos + 1]
-                chars[oldpos] = [c1 + c2 for c1, c2 in zip(subchars, nextsub)]
-                confs[oldpos] = [avg([c1, c2])
-                                 for c1, c2 in zip(subconfs, nextconf)]
-                del chars[oldpos + 1]
-                del confs[oldpos + 1]
-            elif len(ci) < len(subchars[i]):
-                # merge alignment entries newpos/newpos+1
-                nextci, nextcj = align[newpos + 1]
-                align[newpos] = (ci + (nextci or ''), cj + (nextcj or ''))
-                del align[newpos + 1]
-            else:
-                subchars[j] = cj
-                subconfs[j] = avg(confseqs[j][startj:endj]) \
-                    if endj > startj else 1.0
-                starti = endi
-                startj = endj
-                newpos += 1
-                oldpos += 1
-    return chars, confs
+            dist[i, j] = dist[j, i] = d
+            aligns[i, j] = list(pairs)
+            aligns[j, i] = [(b, a) for a, b in pairs]
+    # order inputs along a minimum-total-distance path (brute force over
+    # permutations; N is the number of input fileGrps, always tiny)
+    order = min(itertools.permutations(range(n)),
+                key=lambda p: sum(dist[e] for e in pairwise(p)))
+    lattice = _Lattice(n)
+    lattice.seed(order[0], charseqs[order[0]], confseqs[order[0]])
+    for i, j in pairwise(order):
+        lattice.weave(i, j, aligns[i, j], confseqs[j])
+    return lattice.rows, lattice.row_confs
 
 
 def vote(chars, confs, method):

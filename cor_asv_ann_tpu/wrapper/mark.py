@@ -13,6 +13,31 @@ import unicodedata
 
 from .base import PageProcessor, processor_cli
 
+HYPHENS = ('-', '⸗')
+
+
+class SpellLookup:
+    """Letter-normalization + external lookup command (e.g. hunspell
+    ``-w -L``, which echoes every unknown word back)."""
+
+    def __init__(self, command, normalization):
+        self.command = command
+        self.normalization = normalization
+
+    def letters(self, token):
+        """Apply the char normalization map, keep letters/marks only."""
+        for old, new in self.normalization.items():
+            token = token.replace(old, new)
+        return ''.join(char for char in token
+                       if unicodedata.category(char)[0] in 'LM')
+
+    def unknown(self, word):
+        """(lookup_failed_or_unknown, returncode, stderr) for `word`."""
+        proc = subprocess.run(self.command, input=word + '\n',
+                              encoding='utf-8', shell=True,
+                              capture_output=True, text=True)
+        return bool(proc.stdout.rstrip('\n')), proc.returncode, proc.stderr
+
 
 class MarkWords(PageProcessor):
     """Mark words not recognized by a spellchecker command."""
@@ -23,6 +48,13 @@ class MarkWords(PageProcessor):
         'normalization': {'type': 'object', 'default': {}},
         'format': {'type': 'string', 'default': 'OOV'},
     }
+
+    def setup(self):
+        # initialized here (not only in start_document) so per-page use
+        # without the workspace runner — e.g. through the OCR-D core
+        # adapter, which drives document iteration itself — still works
+        self.total_candidates = 0
+        self.total_nonmatches = 0
 
     def start_document(self, workspace, input_grps, output_grp):
         self.total_candidates = 0
@@ -35,82 +67,79 @@ class MarkWords(PageProcessor):
             100 * self.total_nonmatches / self.total_candidates
             if self.total_candidates else 0)
 
-    def _run_command(self, text):
-        if not text.endswith('\n'):
-            text += '\n'
-        result = subprocess.run(self.parameter['command'], input=text,
-                                encoding='utf-8', shell=True,
-                                capture_output=True, text=True)
-        return result.returncode, result.stdout.rstrip('\n'), result.stderr
+    def _mark(self, equiv):
+        if self.parameter['format'] == 'conf':
+            equiv.conf = 0.123
+        else:
+            equiv.comments = self.parameter['format']
 
-    def _asword(self, token):
-        for nfrom, nto in self.parameter['normalization'].items():
-            token = token.replace(nfrom, nto)
-        return ''.join(c for c in token
-                       if unicodedata.category(c)[0] in 'LM')
+    def _unmark_closure(self, equiv):
+        """Capture the pre-mark state of a hyphenated word so a
+        successful dehyphenation join can revert the mark later."""
+        attr = 'conf' if self.parameter['format'] == 'conf' else 'comments'
+        old = getattr(equiv, attr)
+        return lambda: setattr(equiv, attr, old)
 
     def process_page(self, docs, page_id):
         doc = docs[0]
-        format_ = self.parameter['format']
-        file_candidates = 0
-        file_nonmatches = 0
-        undo = None  # (undo_fn, stripped_text) of a line-final hyphen word
-
-        def save(equiv):
-            attr = 'conf' if format_ == 'conf' else 'comments'
-            old = getattr(equiv, attr)
-
-            def fun():
-                setattr(equiv, attr, old)
-            return fun
+        lookup = SpellLookup(self.parameter['command'],
+                             self.parameter['normalization'])
+        candidates = 0
+        nonmatches = 0
+        # pending dehyphenation candidate: (revert_fn, text minus the
+        # hyphen) of the most recent line-final hyphen-terminated word.
+        # NOTE: faithfully kept from the reference (mark.py:107-124),
+        # including its quirk — the pending entry is only consulted and
+        # cleared when a MARKABLE word is processed, so a skipped
+        # (letterless/empty) line start leaves it live for a later line.
+        pending = None
 
         for line in doc.get_lines():
             words = line.get_words()
             for word in words:
-                equiv = word.get_textequivs()
-                if not equiv:
+                equivs = word.get_textequivs()
+                if not equivs:
                     self.logger.warning('Word "%s" contains no text results',
                                         word.id)
                     continue
-                text = equiv[0].unicode
+                text = equivs[0].unicode
                 if not text:
                     self.logger.warning('Word "%s" contains empty text',
                                         word.id)
                     continue
-                text0 = self._asword(text)
-                if not text0:
+                stripped = lookup.letters(text)
+                if not stripped:
                     continue
-                rc, out, err = self._run_command(text0)
-                file_candidates += 1
-                if rc != 0:
+                is_unknown, status, err = lookup.unknown(stripped)
+                candidates += 1
+                if status != 0:
                     self.logger.error('Word "%s" lookup failed (%d): %s',
-                                      text0, rc, err)
-                elif out:
-                    if undo and word is words[0]:
-                        # dehyphenation retry across the line boundary
-                        undo_fn, prev_text = undo
-                        joined = self._asword(prev_text + text)
-                        rc2, out2, _ = self._run_command(joined)
-                        if rc2 == 0 and not out2:
-                            undo_fn()
-                            undo = None
-                            file_nonmatches -= 1
-                            continue
-                    undo = None
-                    if word is words[-1] and text.endswith(('-', '⸗')):
-                        undo = save(equiv[0]), text[:-1]
-                    file_nonmatches += 1
-                    if format_ == 'conf':
-                        equiv[0].conf = 0.123
-                    else:
-                        equiv[0].comments = format_
+                                      stripped, status, err)
+                    continue
+                if not is_unknown:
+                    continue
+                if pending and word is words[0]:
+                    # unknown word opening a line after a hyphenated
+                    # line end: retry the joined form
+                    revert, head = pending
+                    joined_unknown, status, _ = lookup.unknown(
+                        lookup.letters(head + text))
+                    if status == 0 and not joined_unknown:
+                        revert()
+                        pending = None
+                        nonmatches -= 1
+                        continue
+                pending = None
+                if word is words[-1] and text.endswith(HYPHENS):
+                    pending = self._unmark_closure(equivs[0]), text[:-1]
+                nonmatches += 1
+                self._mark(equivs[0])
         self.logger.info(
             'marked %d unmatched words out of %d tokens (%d%%) on %s',
-            file_nonmatches, file_candidates,
-            100 * file_nonmatches / file_candidates
-            if file_candidates else 0, page_id)
-        self.total_candidates += file_candidates
-        self.total_nonmatches += file_nonmatches
+            nonmatches, candidates,
+            100 * nonmatches / candidates if candidates else 0, page_id)
+        self.total_candidates += candidates
+        self.total_nonmatches += nonmatches
         return doc
 
 

@@ -1,0 +1,120 @@
+"""Optional OCR-D core integration for the five workspace processors.
+
+The reference ships its processors as ``ocrd.Processor`` subclasses
+(reference wrapper/transcode.py:40-46 etc.), gaining OCR-D's workflow
+runner, METS server, worker/server modes and resource manager.  This
+framework's processors run standalone (wrapper/base.py); when the
+``ocrd`` package IS importable, this module bridges them onto OCR-D
+core so ``ocrd process``-style workflows can drive them unchanged.
+
+The bridge is built lazily (``make_processor_class`` imports ``ocrd``
+at call time) so that
+
+- environments without ocrd import this module without error
+  (``available()`` is False, the standalone CLIs keep working),
+- tests can exercise the full bridge protocol against a minimal stub
+  of the ocrd API (tests/test_ocrd_adapter.py).
+
+Page payloads cross the boundary as serialized PAGE-XML: OCR-D's
+``OcrdPage`` object trees are rendered with ocrd's own ``to_xml`` and
+re-parsed by the first-party PAGE layer (utils/page.py), and results
+travel back the same way — no structural mirroring of the ocrd object
+model is needed, and both sides stay authoritative for their own
+parsing.
+"""
+
+import importlib
+
+
+def available():
+    """True when the real OCR-D core stack is importable."""
+    try:
+        importlib.import_module('ocrd')
+        importlib.import_module('ocrd_models.ocrd_page')
+        return True
+    except ImportError:
+        return False
+
+
+def make_processor_class(page_processor_cls, ocrd_module=None,
+                         page_module=None):
+    """Build an ``ocrd.Processor`` subclass wrapping a PageProcessor.
+
+    `ocrd_module`/`page_module` default to the installed ``ocrd`` /
+    ``ocrd_models.ocrd_page``; tests pass stubs.  The returned class
+    follows the OCR-D v3 protocol the reference uses: ``executable``
+    property, ``setup()`` building the inner processor once, and
+    ``process_page_pcgts(*input_pcgts, page_id=...)`` returning an
+    ``OcrdPageResult``.
+    """
+    from ..utils.page import parse_page
+
+    ocrd = ocrd_module or importlib.import_module('ocrd')
+    ocrd_page = page_module or importlib.import_module(
+        'ocrd_models.ocrd_page')
+
+    class BridgedProcessor(ocrd.Processor):
+        @property
+        def executable(self):
+            return page_processor_cls.executable
+
+        def setup(self):
+            self._inner = page_processor_cls(
+                parameter=dict(self.parameter or {}),
+                logger=getattr(self, 'logger', None))
+
+        def process_page_pcgts(self, *input_pcgts, page_id=None):
+            docs = [parse_page(ocrd_page.to_xml(pcgts))
+                    if pcgts is not None else None
+                    for pcgts in input_pcgts]
+            result = self._inner.process_page(docs, page_id)
+            if result is None:
+                result = docs[0]
+            out = ocrd_page.parseString(result.to_bytes())
+            return ocrd.OcrdPageResult(out)
+
+    BridgedProcessor.__name__ = 'Ocrd' + page_processor_cls.__name__
+    BridgedProcessor.__qualname__ = BridgedProcessor.__name__
+    BridgedProcessor.__doc__ = page_processor_cls.__doc__
+    return BridgedProcessor
+
+
+def _bridged(executable_module, class_name):
+    """Import-on-demand bridge factory for one processor."""
+    def build(ocrd_module=None, page_module=None):
+        mod = importlib.import_module(
+            'cor_asv_ann_tpu.wrapper.' + executable_module)
+        return make_processor_class(getattr(mod, class_name),
+                                    ocrd_module, page_module)
+    return build
+
+
+# the five reference processors (reference pyproject.toml:37-41)
+BRIDGES = {
+    'ocrd-cor-asv-ann-process': _bridged('transcode', 'ANNCorrection'),
+    'ocrd-cor-asv-ann-evaluate': _bridged('evaluate', 'EvaluateLines'),
+    'ocrd-cor-asv-ann-align': _bridged('align', 'AlignLines'),
+    'ocrd-cor-asv-ann-join': _bridged('join', 'JoinLines'),
+    'ocrd-cor-asv-ann-mark': _bridged('mark', 'MarkWords'),
+}
+
+
+def cli(executable):
+    """OCR-D CLI for `executable` (used when ocrd core is installed):
+    builds the bridged Processor and hands it to ocrd's own CLI wrapper
+    (the reference's ocrd_cli_wrap_processor pattern)."""
+    if not available():
+        raise RuntimeError(
+            'the ocrd package is not installed; use the standalone '
+            'CLI (%s via cor_asv_ann_tpu.wrapper) instead' % executable)
+    import click
+    from ocrd.decorators import ocrd_cli_options, ocrd_cli_wrap_processor
+
+    cls = BRIDGES[executable]()
+
+    @click.command(name=executable)
+    @ocrd_cli_options
+    def _cli(*args, **kwargs):
+        return ocrd_cli_wrap_processor(cls, *args, **kwargs)
+
+    return _cli

@@ -1,0 +1,120 @@
+"""OCR-D core adapter against a minimal stub of the ocrd API.
+
+The real ``ocrd`` package is not installable in this environment, so the
+bridge protocol (wrapper/ocrd_adapter.py) is exercised against a stub
+implementing exactly the surface the adapter uses: ``ocrd.Processor``
+with ``parameter``/``logger``/``setup``, ``OcrdPageResult``, and
+``ocrd_models.ocrd_page``'s ``to_xml``/``parseString``.  The stub's page
+objects round-trip through serialized PAGE-XML like OCR-D's generateDS
+models do, so the conversion path is genuinely covered.
+"""
+
+import logging
+import types
+
+import pytest
+
+from cor_asv_ann_tpu.utils import page as P
+from cor_asv_ann_tpu.wrapper import ocrd_adapter
+
+
+class StubPage:
+    """Stands in for ocrd_models' OcrdPage: wraps serialized PAGE-XML."""
+
+    def __init__(self, xml):
+        self.xml = xml
+
+
+class StubProcessor:
+    """The slice of ocrd.Processor the bridge relies on."""
+
+    def __init__(self, parameter=None):
+        self.parameter = parameter or {}
+        self.logger = logging.getLogger('stub')
+        self.setup()
+
+    def setup(self):
+        pass
+
+
+class StubResult:
+    def __init__(self, pcgts):
+        self.pcgts = pcgts
+
+
+def make_stub_modules():
+    ocrd = types.SimpleNamespace(Processor=StubProcessor,
+                                 OcrdPageResult=StubResult)
+    ocrd_page = types.SimpleNamespace(
+        to_xml=lambda p: p.xml,
+        parseString=lambda data: StubPage(
+            data.decode('utf-8') if isinstance(data, bytes) else data))
+    return ocrd, ocrd_page
+
+
+def _page_with_line(text):
+    doc = P.new_page()
+    region = P.add_region(doc, 'r1')
+    line = P.add_line(region, 'l1')
+    line.add_textequiv(text)
+    return doc
+
+
+def test_bridge_protocol_mark():
+    """The bridged MarkWords runs through the ocrd-style protocol:
+    parameter passthrough, setup, page conversion both ways."""
+    ocrd, ocrd_page = make_stub_modules()
+    cls = ocrd_adapter.BRIDGES['ocrd-cor-asv-ann-mark'](
+        ocrd_module=ocrd, page_module=ocrd_page)
+    assert cls.__name__ == 'OcrdMarkWords'
+    # 'false' lookup prints nothing -> every word counts as known
+    proc = cls(parameter={'command': 'cat >/dev/null', 'format': 'BAD'})
+    assert proc.executable == 'ocrd-cor-asv-ann-mark'
+
+    doc = _page_with_line('Der Hund')
+    # the standalone mark processor needs Word elements
+    line = doc.get_lines()[0]
+    for i, token in enumerate(['Der', 'Hund']):
+        word = P.add_word(line, 'w%d' % i)
+        word.add_textequiv(token)
+    stub_in = StubPage(doc.to_bytes().decode('utf-8'))
+    result = proc.process_page_pcgts(stub_in, page_id='p1')
+    assert isinstance(result, StubResult)
+    roundtrip = P.parse_page(result.pcgts.xml)
+    texts = [w.get_textequivs()[0].unicode
+             for w in roundtrip.get_lines()[0].get_words()]
+    assert texts == ['Der', 'Hund']
+
+
+def test_bridge_marks_unknown_words():
+    """An always-unknown lookup command marks every word through the
+    full ocrd-style round trip."""
+    ocrd, ocrd_page = make_stub_modules()
+    cls = ocrd_adapter.BRIDGES['ocrd-cor-asv-ann-mark'](
+        ocrd_module=ocrd, page_module=ocrd_page)
+    proc = cls(parameter={'command': 'cat', 'format': 'UNKNOWN'})
+    doc = _page_with_line('Der Hund')
+    line = doc.get_lines()[0]
+    for i, token in enumerate(['Der', 'Hund']):
+        word = P.add_word(line, 'w%d' % i)
+        word.add_textequiv(token)
+    result = proc.process_page_pcgts(
+        StubPage(doc.to_bytes().decode('utf-8')), page_id='p1')
+    roundtrip = P.parse_page(result.pcgts.xml)
+    comments = [w.get_textequivs()[0].comments
+                for w in roundtrip.get_lines()[0].get_words()]
+    assert comments == ['UNKNOWN', 'UNKNOWN']
+
+
+def test_all_five_processors_bridge():
+    """Every reference processor executable has a buildable bridge."""
+    ocrd, ocrd_page = make_stub_modules()
+    for executable, build in ocrd_adapter.BRIDGES.items():
+        cls = build(ocrd_module=ocrd, page_module=ocrd_page)
+        assert issubclass(cls, StubProcessor), executable
+
+
+def test_available_without_ocrd():
+    assert not ocrd_adapter.available()
+    with pytest.raises(RuntimeError, match='not installed'):
+        ocrd_adapter.cli('ocrd-cor-asv-ann-mark')
