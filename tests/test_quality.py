@@ -127,3 +127,37 @@ def test_golden_decodes(flagship):
     # tests/test_beam.py); regressions here are semantics bugs, not ties
     assert out_b == golden['beamed'], [
         (a, b) for a, b in zip(out_b, golden['beamed']) if a != b]
+
+
+def test_golden_corpus(flagship):
+    """Byte-exact decode regression across every decode mode and input
+    format: {greedy, beam} x {plain, prob-line, confmat} x rejection
+    {0, 0.3, 0.5} (tools/record_corpus_goldens.py records the fixture;
+    reference surface seq2seq.py:782-842, input formats :949-958)."""
+    import importlib.util
+    import json
+    tools = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), 'tools', 'record_corpus_goldens.py')
+    golden_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               'golden_corpus.json')
+    if not os.path.exists(golden_path):
+        pytest.skip('golden corpus fixture missing')
+    spec = importlib.util.spec_from_file_location('record_corpus', tools)
+    recorder = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(recorder)
+    with open(golden_path) as f:
+        golden = json.load(f)
+    inputs = golden['inputs']
+    confmat = [[[tuple(alt) for alt in chunk] for chunk in entry]
+               for entry in inputs['confmat']]
+    probline = [[tuple(pair) for pair in entry]
+                for entry in inputs['probline']]
+    results = recorder.decode_all(flagship, inputs['plain'], probline,
+                                  confmat)
+    for name, got in results.items():
+        want = golden['modes'][name]
+        diffs = [(a, b) for a, b in zip(got['output'], want['output'])
+                 if a != b]
+        assert not diffs, (name, diffs[:5])
+        np.testing.assert_allclose(got['scores'], want['scores'],
+                                   atol=2e-3, err_msg=name)
