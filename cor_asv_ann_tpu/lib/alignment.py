@@ -463,20 +463,42 @@ def _words(text):
             yield word
 
 
+# UAX-29 medial classes (the subset relevant to OCR text): a single
+# such char between two same-kind word chars does not break the word
+# (WB6/WB7 for letters, WB11/WB12 for numerics, MidNumLet for both)
+_MIDLETTER = {':', '·', '״', '˗', '﹕', '：'}
+_MIDNUMLET = {'.', "'", '’', '․', '﹒', '＇', '．'}
+_MIDNUM = {',', ';', '٬', '﹐', '﹔', '，', '；'}
+
+
 def _simple_words(text):
-    """Fallback segmentation: maximal runs of letters/digits/marks with
-    medial apostrophes kept inside (approximating UAX-29 MidLetter)."""
-    MID = {"'", '’', '·', '״', '˗', ':', '.', ','}
+    """Fallback segmentation when `uniseg` is unavailable: maximal runs
+    of letters/digits/marks, keeping UAX-29 medial punctuation inside —
+    apostrophes/colons between letters ("don't", Swedish "a:b"),
+    periods between letters or digits ("3.14", "e.g"), commas between
+    digits ("1,000")."""
+    def kind(c):
+        cat = unicodedata.category(c)
+        if cat[0] == 'L' or cat[0] == 'M':
+            return 'L'
+        if cat[0] == 'N':
+            return 'N'
+        return None
+
     out = []
     cur = ''
     for i, c in enumerate(text):
-        cat = unicodedata.category(c)
-        wordish = cat[0] in 'LN' or cat.startswith('M')
-        if wordish:
+        k = kind(c)
+        if k:
             cur += c
-        elif (cur and c in MID and i + 1 < len(text)
-                and unicodedata.category(text[i + 1])[0] in 'LN'
-                and c not in '.,'):
+            continue
+        prev = kind(cur[-1]) if cur else None
+        nxt = kind(text[i + 1]) if i + 1 < len(text) else None
+        joins = (prev and prev == nxt
+                 and ((c in _MIDLETTER and prev == 'L')
+                      or (c in _MIDNUM and prev == 'N')
+                      or c in _MIDNUMLET))
+        if joins:
             cur += c
         else:
             if cur:

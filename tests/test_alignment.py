@@ -149,3 +149,33 @@ def test_splitwords_apostrophe():
 def test_tables_shape():
     assert any("ſ" in s for s in L1_HISTLAT_EQV)
     assert L2_HISTLAT_EQV["ﬁ"] == "fi"
+
+
+def test_simple_words_uax29_known_answers():
+    """The uniseg-free fallback tokenizer must reproduce UAX-29 word
+    boundaries on the medial-punctuation cases that occur in historic
+    text (WB6/7 MidLetter, WB11/12 MidNum, MidNumLet; compared against
+    real `uniseg` output where that package is installed)."""
+    from cor_asv_ann_tpu.lib.alignment import _simple_words, splitwords
+    cases = {
+        "don't stop": ["don't", ' ', 'stop'],
+        "don’t": ["don’t"],
+        '3.14': ['3.14'],
+        '1,000 Taler': ['1,000', ' ', 'Taler'],
+        'a:b': ['a:b'],          # Swedish abbreviation colon (MidLetter)
+        'Ende.': ['Ende', '.'],  # trailing period breaks
+        'Haus, Hof': ['Haus', ',', ' ', 'Hof'],
+        'e.g. so': ['e.g', '.', ' ', 'so'],
+        'ſchoͤn gut': ['ſchoͤn', ' ', 'gut'],  # combining marks stay
+    }
+    for text, want in cases.items():
+        assert _simple_words(text) == want, text
+    # splitwords drops whitespace/punctuation-only tokens
+    assert splitwords("don't stop, 3.14!") == ["don't", 'stop', '3.14']
+    try:
+        import uniseg.wordbreak
+    except ImportError:
+        return
+    for text in cases:
+        assert _simple_words(text) == list(uniseg.wordbreak.words(text)), \
+            text
