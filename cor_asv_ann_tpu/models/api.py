@@ -70,6 +70,11 @@ class Sequence2Sequence:
         self.lm_loss = False
         self.lm_predict = False
         self.scheduled_sampling = None
+        # reference-quirk parity for scheduled sampling: feed sampled
+        # lines ZERO teacher input like the reference's uint32-truncated
+        # feedback buffer (models/train.py:_scheduled_sample); default
+        # feeds one-hot greedy outputs (the documented intent)
+        self.keras_sampling = False
         self.dropout = 0.2
         self.learning_rate = 1e-3  # Keras Adam default (seq2seq.py:496)
         self.patience = 3           # early-stopping patience (seq2seq.py:619)
@@ -226,9 +231,17 @@ class Sequence2Sequence:
     # inference
 
     def _beam_params(self):
+        # expand width 48: the tools/beam_ablation.py sweep (flagship,
+        # B=256, serving settings, agreement judged against the
+        # reference's own beam) found K=48 strictly better than the old
+        # K=16 — equal-best reference agreement, zero empty-bank
+        # failures (K=16 starved some noisy lines of expansions within
+        # the 2*len0 iteration cap), AND faster: wider iterations reach
+        # the early-stop rule sooner, and iteration cost is dominated by
+        # reservoir-merge overhead, not expansion width
         return BeamParams(
             reservoir=max(4 * self.beam_width_in, 64),
-            expand=16,
+            expand=48,
             beam_width_in=int(self.beam_width_in),
             beam_threshold_in=float(self.beam_threshold_in),
             beam_width_out=int(self.beam_width_out),

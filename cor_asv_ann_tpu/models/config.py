@@ -43,6 +43,12 @@ class Seq2SeqConfig:
     # behavior to the padding distribution; the high-level API enables
     # this, the raw functions default to reference parity)
     mask_padding: bool = False
+    # share the hidden-layer variational dropout masks over the BATCH as
+    # well as time, like the reference's Dropout(noise_shape=(1, dim))
+    # (seq2seq.py:296-298, 365-367); the default draws per-sample masks
+    # (a strictly better regularizer) — set True to reproduce reference
+    # training trajectories exactly
+    keras_dropout: bool = False
 
     @property
     def attended_size(self):

@@ -93,10 +93,12 @@ def encode(params, config: Seq2SeqConfig, enc_input, dropout_rng=None,
         if train and config.dropout > 0 and dropout_rng is not None:
             # variational (time-constant) dropout on HL outputs
             # (seq2seq.py:296-298: noise_shape=(1, dim), shared over batch
-            #  and time; we share over time only, per sample)
+            #  and time; the default shares over time only, per sample —
+            #  config.keras_dropout shares over the batch too)
             dropout_rng, sub = jax.random.split(dropout_rng)
+            bdim = 1 if config.keras_dropout else out.shape[0]
             keep = jax.random.bernoulli(
-                sub, 1.0 - config.dropout, (out.shape[0], 1, out.shape[2]))
+                sub, 1.0 - config.dropout, (bdim, 1, out.shape[2]))
             out = jnp.where(keep, out / (1.0 - config.dropout), 0.0)
         if config.bridge_dense:
             bw_ = params['bridge'][n]
@@ -209,8 +211,9 @@ def _decode_teacher(params, config, dec_input, states, attended, u,
             out = out2
         if train and config.dropout > 0 and dropout_rng is not None:
             dropout_rng, sub = jax.random.split(dropout_rng)
+            bdim = 1 if config.keras_dropout else B
             keep = jax.random.bernoulli(
-                sub, 1.0 - config.dropout, (B, 1, out.shape[2]))
+                sub, 1.0 - config.dropout, (bdim, 1, out.shape[2]))
             out = jnp.where(keep, out / (1.0 - config.dropout), 0.0)
     # top layer: per-step attention inside a scan
     top = params['decoder'][depth - 1]

@@ -18,7 +18,10 @@ lib/keras_train.py:27-296) on TPU:
   input replaced by the greedy-decoded output. Note: the reference
   actually fed the recorded feedback scores truncated through a uint32
   buffer (effectively zeros, seq2seq.py:1236-1252); we feed one-hot
-  greedy outputs, matching the intent documented in seq2seq.py:1251,
+  greedy outputs, matching the intent documented in seq2seq.py:1251 —
+  `s2s.keras_sampling = True` reproduces the zero-input quirk instead
+  (and `config.keras_dropout` the batch-shared dropout masks), so
+  reference training trajectories can be replicated exactly,
 - epochs are *discovered, not declared*: the generator yields an epoch
   marker, the first epoch measures the step count (keras_train.py:27-296),
 - early stopping (patience 3, restore best weights), NaN termination,
@@ -365,7 +368,9 @@ def train_model(s2s, filenames, val_filenames=None, checkpoint_dir='.',
                     if ratio > 0:
                         dec_in = _scheduled_sample(
                             params_ref[0], config, s2s.mapping, enc,
-                            dec_in, ratio, newline)
+                            dec_in, ratio, newline,
+                            keras_quirk=getattr(s2s, 'keras_sampling',
+                                                False))
                     # device placement on the prefetch thread overlaps
                     # the host->device transfer with the train step
                     yield to_device((_degrade_encoder(enc), dec_in,
@@ -480,14 +485,28 @@ def _degrade_encoder(enc):
     return enc
 
 
-def _scheduled_sample(params, config, mapping, enc, dec_in, ratio, newline):
+def _scheduled_sample(params, config, mapping, enc, dec_in, ratio, newline,
+                      keras_quirk=False):
     """Replace a random subset of lines' teacher input with the greedy
     decoder's own output, one-hot encoded and shifted right; works on
-    dense (B, Td, V) or index (B, Td) teacher batches."""
+    dense (B, Td, V) or index (B, Td) teacher batches.
+
+    With `keras_quirk`, sampled lines instead get ZERO teacher input:
+    the reference records the greedy feedback through a uint32 buffer
+    (seq2seq.py:1236-1252), truncating every softmax score below 1.0 to
+    0 — so its sampled lines train against (effectively) empty decoder
+    input. The default feeds the one-hot greedy outputs, matching the
+    comment-documented intent (seq2seq.py:1251); the flag reproduces
+    reference training trajectories bit-for-bit minus the rare exact-1.0
+    saturated score."""
     B, Td = dec_in.shape[:2]
     pick = np.random.uniform(0, 1, B) < ratio
     if not pick.any():
         return dec_in
+    if keras_quirk:
+        if dec_in.ndim == 2:
+            return np.where(pick[:, None], -1, dec_in)
+        return np.where(pick[:, None, None], 0.0, dec_in)
     idx, _, length, _, _ = decode_greedy(params, config, enc, newline,
                                          max_steps=Td - 1)
     idx = np.asarray(idx)[:, :Td - 1]

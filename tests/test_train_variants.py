@@ -190,3 +190,62 @@ def test_checkpoint_resume(tmp_path):
     h4 = s2s4.train([str(data2)], checkpoint_dir=str(ckpt), resume=True)
     assert s2s4.status == 2
     assert np.isfinite(h4['loss'][-1])
+
+
+def test_keras_sampling_quirk_zeroes_teacher_input():
+    """With keras_sampling, sampled lines get ZERO teacher input (the
+    reference's uint32-truncated feedback, seq2seq.py:1236-1252)."""
+    import numpy as np
+    from cor_asv_ann_tpu.models import train as T
+    from cor_asv_ann_tpu.models.config import Seq2SeqConfig, init_params
+    from cor_asv_ann_tpu.utils.data import CharMapping
+    mapping = CharMapping.from_texts(["ab\n"])
+    config = Seq2SeqConfig(width=4, depth=1, voc_size=mapping.voc_size)
+    params = init_params(config, seed=0)
+    B, Td, V = 4, 6, mapping.voc_size
+    enc = np.zeros((B, 8, V), np.float32)
+    enc[:, 0, 1] = 1.0
+    dense = np.zeros((B, Td, V), np.float32)
+    dense[:, :, 2] = 1.0
+    np.random.seed(0)
+    out = T._scheduled_sample(params, config, mapping, enc, dense,
+                              ratio=1.0, newline=mapping.get('\n'),
+                              keras_quirk=True)
+    assert (out == 0).all()
+    idxb = np.full((B, Td), 2, np.int32)
+    np.random.seed(0)
+    out2 = T._scheduled_sample(params, config, mapping, enc, idxb,
+                               ratio=1.0, newline=mapping.get('\n'),
+                               keras_quirk=True)
+    assert (out2 == -1).all()
+
+
+def test_keras_dropout_masks_shared_over_batch():
+    """config.keras_dropout shares HL dropout masks over the batch
+    (reference Dropout(noise_shape=(1, dim))): every sample must see
+    the same dropped channels."""
+    import numpy as np
+    import jax
+    from cor_asv_ann_tpu.models import seq2seq
+    from cor_asv_ann_tpu.models.config import Seq2SeqConfig, init_params
+    from cor_asv_ann_tpu.utils.data import CharMapping
+    mapping = CharMapping.from_texts(["abcd\n"])
+    config = Seq2SeqConfig(width=8, depth=2, voc_size=mapping.voc_size,
+                           dropout=0.5, keras_dropout=True)
+    params = init_params(config, seed=1)
+    B, T, V = 4, 6, mapping.voc_size
+    enc = np.zeros((B, T, V), np.float32)
+    enc[:, :, 1] = 1.0  # identical lines
+    rng = jax.random.PRNGKey(3)
+    out, _, _ = seq2seq.encode(params, config, enc, dropout_rng=rng,
+                               train=True)
+    out = np.asarray(out)
+    # identical inputs + batch-shared masks => identical outputs
+    for j in range(1, B):
+        np.testing.assert_array_equal(out[0], out[j])
+    # per-sample masks (default) must differ across the batch
+    config2 = Seq2SeqConfig(width=8, depth=2, voc_size=mapping.voc_size,
+                            dropout=0.5)
+    out2 = np.asarray(seq2seq.encode(params, config2, enc,
+                                     dropout_rng=rng, train=True)[0])
+    assert any((out2[0] != out2[j]).any() for j in range(1, B))

@@ -47,8 +47,14 @@ def main():
     n_ref = int(sys.argv[1]) if len(sys.argv) > 1 else 12
     config, mapping, params = bench.build_flagship()
     B, pad = 256, 64
-    enc = bench.make_flagship_lines(mapping, B, 50, pad)
+    # full-width lines (min_len > pad => every line is exactly pad
+    # chars): true length == padded length, so the reference's padded
+    # length prior (decode_sequence_beam length0=attended_len,
+    # seq2seq.py:1393) and this framework's true-length prior coincide
+    # and agreement measures pure search structure
+    enc = bench.make_flagship_lines(mapping, B, 80, pad)
     src_len = np.sum(np.any(enc != 0, axis=2), axis=1).astype(np.int32)
+    assert (src_len == pad).all()
     newline = mapping.get('\n')
 
     # --- reference 1-best on the first n_ref lines ---------------------
@@ -76,17 +82,12 @@ def main():
     enc_d = jax.device_put(enc)
     src_d = jax.device_put(src_len)
 
-    # the reference's length prior is the PADDED length
-    # (decode_sequence_beam length0=attended_len, seq2seq.py:1393) — a
-    # quirk this framework deliberately fixes in serving (true per-line
-    # length); match it here so agreement measures search structure only
-    pad_len = jax.device_put(np.full(B, pad, np.int32))
-
     for R, K in CONFIGS:
         bp = BeamParams(reservoir=R, expand=K)
-        # quality: f32 (the byte-stable serving mode), padded len0
+        # quality: f32 (the byte-stable serving mode)
         out = {k: np.asarray(v) for k, v in decode_beam(
-            params_f32, config, bp, enc_d, newline, pad_len).items()}
+            params_f32, config, bp, enc_d, newline, src_d).items()}
+        fails = int((out['count'] == 0).sum())
         agree = 0
         for j in range(n_ref):
             if out['count'][j] == 0:
@@ -95,10 +96,6 @@ def main():
             txt = ''.join(mapping.i2c[int(i)]
                           for i in out['idx'][j, 0, :L])
             agree += txt == ref_best[j]
-        # failures measured at serving settings (true per-line len0)
-        out_s = {k: np.asarray(v) for k, v in decode_beam(
-            params_f32, config, bp, enc_d, newline, src_d).items()}
-        fails = int((out_s['count'] == 0).sum())
         # speed: bf16 chained
         o = decode_beam(params_bf16, config, bp, enc_d, newline, src_d)
         np.asarray(o['count'])
