@@ -108,7 +108,12 @@ def bench_tpu(params, config, mapping, enc, repeats=20):
     """
     import jax
     import jax.numpy as jnp
-    from cor_asv_ann_tpu.models.seq2seq import decode_greedy
+    from cor_asv_ann_tpu.models.seq2seq import (decode_greedy,
+                                                decode_greedy_windowed)
+    if enc.shape[1] >= 128:
+        # the serving path for long buckets (models/api.py dispatches to
+        # the windowed-gather decoder from T>=128)
+        decode_greedy = decode_greedy_windowed
     newline = mapping.get('\n')
     params = jax.tree_util.tree_map(
         lambda a: jnp.asarray(a).astype(jnp.bfloat16), params)
@@ -276,6 +281,10 @@ def main():
                                            steps)
         base_beam = None
         baseline_kind = 'numpy_host_proxy'
+    # long-line point: T=256 bucket exercises the windowed-gather
+    # decoder (decode_greedy_windowed, the T>=128 serving path)
+    long_enc = make_flagship_lines(mapping, 256, 220, 256)
+    long_lps, _ = bench_tpu(params, config, mapping, long_enc, repeats=5)
     result = {
         'metric': 'greedy_decode_throughput_d2w512',
         'value': round(lines_per_sec, 2),
@@ -287,6 +296,10 @@ def main():
             'unit': 'lines/sec/chip',
             'vs_baseline': (round(beam_lps / base_beam, 2)
                             if base_beam else None),
+        },
+        'long_lines_T256': {
+            'value': round(long_lps, 2),
+            'unit': 'lines/sec/chip',
         },
     }
     print(json.dumps(result))

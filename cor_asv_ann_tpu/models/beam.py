@@ -68,7 +68,10 @@ INF = jnp.inf
 @dataclasses.dataclass(frozen=True)
 class BeamParams:
     reservoir: int = 64        # queued node slots R per line
-    expand: int = 8            # nodes expanded per iteration K
+    # nodes expanded per iteration K: 48 per the serving ablation
+    # (tools/beam_ablation.py — best reference agreement, no empty-bank
+    # failures, fastest; see NOTES.md)
+    expand: int = 48
     beam_width_in: int = 15    # max candidates admitted per node C
     beam_threshold_in: float = 0.2  # relative admission threshold
     beam_width_out: int = 16   # finished-hypothesis bank size F
