@@ -70,6 +70,9 @@ class EvaluateLines(PageProcessor):
 
     executable = 'ocrd-cor-asv-ann-evaluate'
     input_file_grp_cardinality = (1, None)
+    # aggregates document-level Edits across pages in order; serial like
+    # the reference (evaluate.py:29)
+    max_workers = 1
     parameter_schema = {
         'match_on': {'type': 'string', 'default': 'id',
                      'enum': ['index', 'id', 'coords', 'baseline']},

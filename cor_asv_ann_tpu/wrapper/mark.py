@@ -138,8 +138,9 @@ class MarkWords(PageProcessor):
             'marked %d unmatched words out of %d tokens (%d%%) on %s',
             nonmatches, candidates,
             100 * nonmatches / candidates if candidates else 0, page_id)
-        self.total_candidates += candidates
-        self.total_nonmatches += nonmatches
+        with self._lock:    # page-parallel safe (cf. reference mark.py:32)
+            self.total_candidates += candidates
+            self.total_nonmatches += nonmatches
         return doc
 
 

@@ -67,6 +67,9 @@ class ANNCorrection(PageProcessor):
     """Correct OCR text with a character-level attention seq2seq model."""
 
     executable = 'ocrd-cor-asv-ann-process'
+    # one model instance, pages batched inside (see process_workspace);
+    # mirrors the reference's max_workers = 1 (transcode.py:46)
+    max_workers = 1
     parameter_schema = {
         'model_file': {'type': 'string', 'required': True},
         'textequiv_level': {'type': 'string', 'default': 'glyph',
@@ -110,6 +113,10 @@ class ANNCorrection(PageProcessor):
             input_grps = input_grps.split(',')
         self.verify(input_grps)
         files = workspace.page_files(input_grps[0])
+        if not files:
+            from .base import ParameterError
+            raise ParameterError('input fileGrp %r contains no page '
+                                 'files' % input_grps[0])
         pages = page_ids or [p for p in workspace.page_ids() if p in files]
         docs = {pid: parse_page(files[pid].path) for pid in pages}
         # phase 1: collect line sequences over all pages

@@ -1,0 +1,299 @@
+"""METS server, page-parallel processing, processor server/worker modes.
+
+Mirror of the reference's runtime-config test matrix (reference
+tests/conftest.py:71-99 parametrizes every processor run over
+['', 'pageparallel', 'metscache', 'pageparallel+metscache'], where
+pageparallel = OCRD_MAX_PARALLEL_PAGES=4 against a live OcrdMetsServer
+on a unix socket).  Here the standalone equivalents are exercised:
+utils/mets_server.py (METS server + client workspace),
+wrapper/base.py page-parallel thread pool, and wrapper/server.py
+(persistent processor server + directory-queue worker, the reference's
+``server``/``worker`` subcommands, README.md:447-450).
+"""
+
+import json
+import http.client
+import threading
+
+import pytest
+
+from cor_asv_ann_tpu.utils import page as P
+from cor_asv_ann_tpu.utils.mets_server import (
+    MetsClientWorkspace, MetsServer)
+from cor_asv_ann_tpu.utils.workspace import Workspace, make_workspace
+from cor_asv_ann_tpu.wrapper.evaluate import EvaluateLines
+from cor_asv_ann_tpu.wrapper.join import JoinLines
+from cor_asv_ann_tpu.wrapper.mark import MarkWords
+from cor_asv_ann_tpu.wrapper.server import (
+    ProcessorServer, client_process, run_worker)
+
+PAGES = ['p%d' % i for i in range(1, 5)]
+TEXTS = {
+    'p1': ['Der Hvnd liegt', 'im Garten'],
+    'p2': ['Die Katzc sitzt'],
+    'p3': ['Der Hund liegt', 'Die Katze'],
+    'p4': ['im Garten sitzt', 'Der Hvnd'],
+}
+
+
+def make_doc(line_texts, conf=0.9):
+    doc = P.new_page()
+    region = P.add_region(doc, 'r1')
+    for i, text in enumerate(line_texts):
+        line = P.add_line(region, 'l%d' % (i + 1),
+                          points=[(0, i * 20), (100, i * 20 + 18)])
+        x = 0
+        for j, wtext in enumerate(text.split(' ')):
+            w = P.add_word(line, 'l%d_w%d' % (i + 1, j + 1),
+                           points=[(x, i * 20),
+                                   (x + 10 * len(wtext), i * 20 + 18)])
+            w.add_textequiv(wtext, conf=conf)
+            x += 10 * len(wtext) + 5
+        line.add_textequiv(text, conf=conf)
+    return doc
+
+
+def build_ws(root, grps=('OCR',)):
+    ws = make_workspace(str(root), PAGES)
+    for grp in grps:
+        for pid in PAGES:
+            ws.add_file(grp, pid, make_doc(TEXTS[pid]).to_bytes())
+    ws.save()
+    return ws
+
+
+def spell_script(tmp_path):
+    """Fake hunspell -w -L: echo words NOT in the dictionary."""
+    script = tmp_path / 'spell.sh'
+    script.write_text(
+        '#!/bin/sh\nwhile read w; do\n'
+        'case "$w" in Der|Die|Hund|Katze|im|Garten|liegt|sitzt) ;; '
+        '*) echo "$w";; esac\ndone\n')
+    script.chmod(0o755)
+    return str(script)
+
+
+def grp_bytes(directory, grp):
+    ws = Workspace(str(directory))
+    return {pid: open(f.path, 'rb').read()
+            for pid, f in ws.page_files(grp).items()}
+
+
+# -- METS server ------------------------------------------------------
+
+def test_mets_server_roundtrip(tmp_path):
+    ws_dir = tmp_path / 'ws'
+    build_ws(ws_dir)
+    sock = str(tmp_path / 'mets.sock')
+    server = MetsServer(str(ws_dir), sock).start()
+    try:
+        client = MetsClientWorkspace(sock, directory=str(ws_dir))
+        assert client.page_ids() == PAGES
+        assert 'OCR' in client.file_groups()
+        direct = Workspace(str(ws_dir))
+        got = client.page_files('OCR')
+        want = direct.page_files('OCR')
+        assert set(got) == set(want)
+        assert all(got[p].path == want[p].path for p in got)
+        # write through the server, then check the on-disk METS
+        client.add_file('OUT', 'p1', make_doc(['neu']).to_bytes())
+        client.save()
+        reread = Workspace(str(ws_dir))
+        assert 'p1' in reread.page_files('OUT')
+        text = P.parse_page(reread.page_files('OUT')['p1'].path) \
+            .get_lines()[0].get_text()
+        assert text == 'neu'
+    finally:
+        server.stop()
+
+
+def test_mets_server_tcp_and_errors(tmp_path):
+    ws_dir = tmp_path / 'ws'
+    build_ws(ws_dir)
+    server = MetsServer(str(ws_dir), '127.0.0.1:0')
+    # the ephemeral port is known only after bind
+    addr = '127.0.0.1:%d' % server._server.server_address[1]
+    server.start()
+    try:
+        client = MetsClientWorkspace(addr, directory=str(ws_dir))
+        assert client.page_ids() == PAGES
+        with pytest.raises(RuntimeError, match='unknown method'):
+            client._call('bogus')
+    finally:
+        server.stop()
+
+
+# -- page-parallel + runtime-config matrix ----------------------------
+
+@pytest.mark.parametrize('config', [
+    '', 'pageparallel', 'metsserver', 'pageparallel+metsserver'])
+def test_mark_runtime_configs(tmp_path, monkeypatch, config):
+    """All four runtime configs must produce byte-identical outputs
+    (the reference asserts identical CERs across its configs,
+    test_all.py:267-271; the standalone layer can hold the stronger
+    byte bar)."""
+    ws_dir = tmp_path / ('ws_' + (config.replace('+', '_') or 'plain'))
+    build_ws(ws_dir)
+    script = spell_script(tmp_path)
+    if 'pageparallel' in config:
+        monkeypatch.setenv('OCRD_MAX_PARALLEL_PAGES', '4')
+    else:
+        monkeypatch.delenv('OCRD_MAX_PARALLEL_PAGES', raising=False)
+    proc = MarkWords(parameter={'command': script, 'format': 'OOV'})
+    if 'metsserver' in config:
+        sock = str(tmp_path / 'mets.sock')
+        server = MetsServer(str(ws_dir), sock).start()
+        try:
+            proc.process_workspace(
+                MetsClientWorkspace(sock, directory=str(ws_dir)),
+                ['OCR'], 'MARK')
+        finally:
+            server.stop()
+    else:
+        proc.process_workspace(str(ws_dir), ['OCR'], 'MARK')
+    # marks: exactly the two Hvnd + one Katzc tokens across 4 pages
+    assert proc.total_nonmatches == 3
+    assert proc.total_candidates == sum(
+        len(t.split()) for ts in TEXTS.values() for t in ts)
+    got = grp_bytes(ws_dir, 'MARK')
+    # build the serial baseline once and compare bytes
+    base_dir = tmp_path / 'ws_baseline'
+    build_ws(base_dir)
+    monkeypatch.delenv('OCRD_MAX_PARALLEL_PAGES', raising=False)
+    MarkWords(parameter={'command': script, 'format': 'OOV'}) \
+        .process_workspace(str(base_dir), ['OCR'], 'MARK')
+    assert got == grp_bytes(base_dir, 'MARK')
+
+
+def test_parallel_caps(monkeypatch):
+    monkeypatch.setenv('OCRD_MAX_PARALLEL_PAGES', '4')
+    assert EvaluateLines(parameter={})._parallel_pages(8) == 1
+    assert JoinLines(parameter={})._parallel_pages(8) == 4
+    monkeypatch.setenv('OCRD_MAX_PARALLEL_PAGES', 'junk')
+    assert JoinLines(parameter={})._parallel_pages(8) == 1
+    monkeypatch.delenv('OCRD_MAX_PARALLEL_PAGES')
+    assert JoinLines(parameter={})._parallel_pages(8) == 1
+
+
+# -- processor server -------------------------------------------------
+
+def test_processor_server(tmp_path):
+    ws_dir = tmp_path / 'ws'
+    build_ws(ws_dir, grps=('OCR', 'OCR2'))
+    server = ProcessorServer(JoinLines, '127.0.0.1:0').start()
+    try:
+        host, port = server.address.rsplit(':', 1)
+        conn = http.client.HTTPConnection(host, int(port), timeout=30)
+        conn.request('GET', '/info')
+        info = json.loads(conn.getresponse().read())
+        assert info['executable'] == 'ocrd-cor-asv-ann-join'
+        assert 'match-on' in info['parameters']
+        conn.close()
+        job = {'workspace': str(ws_dir),
+               'input_file_grp': 'OCR,OCR2',
+               'output_file_grp': 'JOIN',
+               'parameter': {'add-filegrp-index': True}}
+        result = client_process(server.address, job)
+        assert result['ok']
+        ws = Workspace(str(ws_dir))
+        doc = P.parse_page(ws.page_files('JOIN')['p1'].path)
+        tes = doc.get_lines()[0].get_textequivs()
+        assert [te.index for te in tes] == [0, 1]
+        # second job on the same parameters reuses the cached processor
+        job2 = dict(job, output_file_grp='JOIN2', page_id='p2')
+        assert client_process(server.address, job2)['ok']
+        assert len(server._cache) == 1
+        assert 'p2' in Workspace(str(ws_dir)).page_files('JOIN2')
+        # bad jobs are reported, not fatal
+        with pytest.raises(RuntimeError, match='processor server'):
+            client_process(server.address, {'workspace': str(ws_dir),
+                                            'input_file_grp': 'OCR'})
+    finally:
+        server.stop()
+
+
+def test_processor_server_with_mets_server(tmp_path):
+    """Server mode + METS server combined (the reference's full
+    worker/server deployment shape)."""
+    ws_dir = tmp_path / 'ws'
+    build_ws(ws_dir, grps=('OCR', 'OCR2'))
+    sock = str(tmp_path / 'mets.sock')
+    mets = MetsServer(str(ws_dir), sock).start()
+    server = ProcessorServer(JoinLines, '127.0.0.1:0').start()
+    try:
+        result = client_process(server.address, {
+            'workspace': str(ws_dir), 'mets_server_url': sock,
+            'input_file_grp': 'OCR,OCR2', 'output_file_grp': 'JOIN'})
+        assert result['ok']
+        assert set(Workspace(str(ws_dir)).page_files('JOIN')) == set(PAGES)
+    finally:
+        server.stop()
+        mets.stop()
+
+
+# -- worker (directory queue) -----------------------------------------
+
+def test_worker_queue(tmp_path):
+    ws_dir = tmp_path / 'ws'
+    build_ws(ws_dir)
+    queue = tmp_path / 'queue'
+    queue.mkdir()
+    script = spell_script(tmp_path)
+    job = {'workspace': str(ws_dir), 'input_file_grp': 'OCR',
+           'output_file_grp': 'MARK',
+           'parameter': {'command': script, 'format': 'OOV'}}
+    (queue / 'job1.json').write_text(json.dumps(job))
+    run_worker(MarkWords, str(queue), once=True, timeout=10)
+    result = json.loads((queue / 'job1.json.result.json').read_text())
+    assert result['ok']
+    assert set(Workspace(str(ws_dir)).page_files('MARK')) == set(PAGES)
+    # queue is drained
+    assert not (queue / 'job1.json').exists()
+    assert not (queue / 'job1.json.claimed').exists()
+    # failing job reports the error in its result file
+    (queue / 'job2.json').write_text(json.dumps(
+        dict(job, input_file_grp='NOSUCH', output_file_grp='X')))
+    run_worker(MarkWords, str(queue), once=True, timeout=10)
+    result2 = json.loads((queue / 'job2.json.result.json').read_text())
+    assert not result2['ok']
+    assert 'error' in result2
+
+
+# -- CLI surface ------------------------------------------------------
+
+def test_cli_subcommands():
+    from click.testing import CliRunner
+    from cor_asv_ann_tpu.wrapper.join import ocrd_cor_asv_ann_join as cli
+    runner = CliRunner()
+    out = runner.invoke(cli, ['--help'])
+    assert out.exit_code == 0
+    assert 'server' in out.output and 'worker' in out.output
+    assert '--mets-server-url' in out.output
+    # direct mode without -I is a usage error
+    out = runner.invoke(cli, [])
+    assert out.exit_code != 0
+    assert 'input-file-grp' in out.output
+    out = runner.invoke(cli, ['server', '--help'])
+    assert out.exit_code == 0 and '--address' in out.output
+    out = runner.invoke(cli, ['worker', '--help'])
+    assert out.exit_code == 0 and '--queue' in out.output
+
+
+def test_cli_with_mets_server(tmp_path):
+    """Full CLI run against a METS server via -U."""
+    from click.testing import CliRunner
+    from cor_asv_ann_tpu.wrapper.mark import ocrd_cor_asv_ann_mark as cli
+    ws_dir = tmp_path / 'ws'
+    build_ws(ws_dir)
+    sock = str(tmp_path / 'mets.sock')
+    server = MetsServer(str(ws_dir), sock).start()
+    try:
+        out = CliRunner().invoke(cli, [
+            '-m', str(ws_dir), '-I', 'OCR', '-O', 'MARK',
+            '-U', sock,
+            '-P', 'command', spell_script(tmp_path),
+            '-P', 'format', 'OOV'])
+        assert out.exit_code == 0, out.output
+        assert set(Workspace(str(ws_dir)).page_files('MARK')) == set(PAGES)
+    finally:
+        server.stop()
