@@ -133,3 +133,45 @@ def test_transcode_workspace(toy_model_file, tmp_path, level, fast):
                         assert ''.join(
                             g.get_text() or '' for g in glyphs) == \
                             (w.get_text() or '')
+
+
+def test_transcode_deployment_modes(toy_model_file, tmp_path):
+    """The trained-model correction chain through the deployment
+    runtime (wrapper/server.py + utils/mets_server.py): a processor
+    server with a cached model instance, jobs routed over HTTP, METS
+    access through a METS server — outputs byte-identical to the
+    direct in-process run (cf. reference worker/server modes,
+    README.md:447-450)."""
+    from cor_asv_ann_tpu.utils.mets_server import MetsServer
+    from cor_asv_ann_tpu.utils.workspace import Workspace
+    from cor_asv_ann_tpu.wrapper.server import (
+        ProcessorServer, client_process)
+
+    params = {'model_file': toy_model_file, 'textequiv_level': 'word',
+              'fast_mode': True, 'rejection_threshold': 0.1}
+    # direct run = baseline bytes
+    ws_direct = build_workspace(tmp_path / 'direct')
+    ANNCorrection(parameter=params).process_workspace(
+        ws_direct, ['OCR'], 'COR')
+    baseline = open(ws_direct.page_files('COR')['p1'].path, 'rb').read()
+
+    ws_dir = str((tmp_path / 'served') / 'ws')
+    build_workspace(tmp_path / 'served')
+    sock = str(tmp_path / 'mets.sock')
+    mets = MetsServer(ws_dir, sock).start()
+    server = ProcessorServer(ANNCorrection, '127.0.0.1:0').start()
+    try:
+        job = {'workspace': ws_dir, 'mets_server_url': sock,
+               'input_file_grp': 'OCR', 'output_file_grp': 'COR',
+               'parameter': params}
+        assert client_process(server.address, job)['ok']
+        # a second job reuses the cached (loaded+jitted) model
+        assert client_process(server.address, dict(
+            job, output_file_grp='COR2'))['ok']
+        assert len(server._cache) == 1
+    finally:
+        server.stop()
+        mets.stop()
+    ws = Workspace(ws_dir)
+    for grp in ('COR', 'COR2'):
+        assert open(ws.page_files(grp)['p1'].path, 'rb').read() == baseline
