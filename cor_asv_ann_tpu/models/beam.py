@@ -225,7 +225,10 @@ def decode_beam(params, config: Seq2SeqConfig, bp: BeamParams, enc_input,
     from .seq2seq import ensure_onehot
     enc_input = ensure_onehot(enc_input, config, params)
     B, T, V = enc_input.shape
-    R, K = bp.reservoir, bp.expand
+    # expand cannot exceed the reservoir (top-K is taken over R slots);
+    # guards e.g. BeamParams(reservoir=32) with the default expand=48
+    R = bp.reservoir
+    K = min(bp.expand, R)
     # internal bank holds one slot more than beam_width_out: the
     # reference's early stop requires *more than* beam_width_out finished
     # solutions (seq2seq.py:1417 `len(final_beam) > self.beam_width_out`)

@@ -60,9 +60,15 @@ def iter_keyed(lines):
 
 
 def lookup(lines, key):
-    """Return lines[key], or None when absent (dict or list)."""
+    """Return lines[key], or None when absent (dict or list).
+
+    A string line id against a plain list (PAGE-XML OCR vs plain-text
+    GT) cannot match positionally — treat as missing instead of
+    comparing str with int."""
     if isinstance(lines, dict):
         return lines.get(key)
+    if not isinstance(key, int):
+        return None
     return lines[key] if key < len(lines) else None
 
 

@@ -32,7 +32,7 @@ import socket
 import socketserver
 import threading
 
-from .workspace import Workspace, WorkspaceFile
+from .workspace import Workspace, WorkspaceFile, index_page_files
 
 
 def parse_address(address):
@@ -90,6 +90,14 @@ class MetsServer:
 
     # -- protocol methods ---------------------------------------------
     def dispatch(self, method, params):
+        # requests run on ThreadingMixIn handler threads; the whole
+        # dispatch is serialized — reads too, since a reader iterating
+        # the METS tree must not observe a half-built element another
+        # thread's add_file is constructing
+        with self._lock:
+            return self._dispatch_locked(method, params)
+
+    def _dispatch_locked(self, method, params):
         if method == 'file_groups':
             return self.workspace.file_groups()
         if method == 'page_ids':
@@ -103,20 +111,17 @@ class MetsServer:
                         mimetype=params.get('mimetype'))]
         if method == 'add_file':
             content = base64.b64decode(params['content_b64'])
-            with self._lock:
-                return self.workspace.add_file(
-                    params['group'], params['page_id'], content,
-                    file_id=params.get('file_id'),
-                    mimetype=params.get('mimetype')
-                    or 'application/vnd.prima.page+xml',
-                    ext=params.get('ext') or '.xml')
+            return self.workspace.add_file(
+                params['group'], params['page_id'], content,
+                file_id=params.get('file_id'),
+                mimetype=params.get('mimetype')
+                or 'application/vnd.prima.page+xml',
+                ext=params.get('ext') or '.xml')
         if method == 'save':
-            with self._lock:
-                self.workspace.save()
+            self.workspace.save()
             return None
         if method == 'stop':
-            with self._lock:
-                self.workspace.save()
+            self.workspace.save()
             threading.Thread(target=self._server.shutdown,
                              daemon=True).start()
             return None
@@ -188,13 +193,7 @@ class MetsClientWorkspace:
                                     mimetype=mimetype)]
 
     def page_files(self, group):
-        out = {}
-        for f in self.files(group=group):
-            if f.mimetype and 'page' not in f.mimetype and \
-                    not f.path.endswith('.xml'):
-                continue
-            out[f.page_id] = f
-        return out
+        return index_page_files(self.files(group=group))
 
     def add_file(self, group, page_id, content, file_id=None,
                  mimetype='application/vnd.prima.page+xml', ext='.xml'):

@@ -31,6 +31,19 @@ class WorkspaceFile:
         self.mimetype = mimetype
 
 
+def index_page_files(files):
+    """Filter a file list down to PAGE-XML files, keyed by page id
+    (shared by Workspace and the METS-server client facade so the two
+    paths cannot diverge)."""
+    out = {}
+    for f in files:
+        if f.mimetype and 'page' not in f.mimetype and \
+                not f.path.endswith('.xml'):
+            continue
+        out[f.page_id] = f
+    return out
+
+
 class Workspace:
     """A METS-backed (or bare-directory) workspace of page files."""
 
@@ -114,13 +127,7 @@ class Workspace:
 
     def page_files(self, group):
         """PAGE-XML files of a fileGrp keyed by page id."""
-        out = {}
-        for f in self.files(group=group):
-            if f.mimetype and 'page' not in f.mimetype and \
-                    not f.path.endswith('.xml'):
-                continue
-            out[f.page_id] = f
-        return out
+        return index_page_files(self.files(group=group))
 
     # -- writing ------------------------------------------------------
     def add_file(self, group, page_id, content, file_id=None,

@@ -216,7 +216,7 @@ class AlignLines(PageProcessor):
     }
 
     def setup(self):
-        self.aligner = Alignment(logger=self.logger)
+        pass
 
     def verify(self, input_grps):
         super().verify(input_grps)
@@ -226,6 +226,10 @@ class AlignLines(PageProcessor):
 
     def process_page(self, docs, page_id):
         method = self.parameter['method']
+        # Alignment carries set_seqs state, so it must be per page-call
+        # (this processor runs page-parallel under
+        # OCRD_MAX_PARALLEL_PAGES, wrapper/base.py)
+        aligner = Alignment(logger=self.logger)
         result = None
         master = 0
         file_line2seq = [{} for _ in docs]
@@ -251,7 +255,7 @@ class AlignLines(PageProcessor):
                 continue
             charseqs, confseqs = zip(*seqs)
             chars, confs = nway_align(list(charseqs), list(confseqs),
-                                      self.aligner)
+                                      aligner)
             linetext, lineconf = vote(chars, confs, method)
             self.logger.debug('best voted line for "%s": %s', line_id,
                               linetext)

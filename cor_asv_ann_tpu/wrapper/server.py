@@ -33,9 +33,15 @@ import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 
+# resident processor instances per server/worker: each distinct
+# parameter set may hold a loaded model, so bound the cache (LRU)
+CACHE_SIZE = 4
+
+
 def execute_job(processor_cls, job, cache=None, logger=None):
     """Run one processing job (the /process and worker job schema).
-    `cache` maps canonical parameter JSON -> processor instance."""
+    `cache` maps canonical parameter JSON -> processor instance
+    (LRU-bounded at CACHE_SIZE to keep resident model count finite)."""
     params = job.get('parameter') or {}
     key = json.dumps(params, sort_keys=True)
     processor = cache.get(key) if cache is not None else None
@@ -43,6 +49,10 @@ def execute_job(processor_cls, job, cache=None, logger=None):
         processor = processor_cls(parameter=params)
         if cache is not None:
             cache[key] = processor
+            while len(cache) > CACHE_SIZE:
+                cache.pop(next(iter(cache)))
+    elif cache is not None:
+        cache[key] = cache.pop(key)    # refresh LRU order
     workspace = job['workspace']
     if job.get('mets_server_url'):
         from ..utils.mets_server import MetsClientWorkspace
@@ -140,9 +150,10 @@ def run_worker(processor_cls, queue_dir, once=False, poll=0.2,
     claimed by renaming to ``*.json.claimed`` (atomic on one
     filesystem), executed, and answered with ``<job>.result.json``.
     `once` returns after the first executed job; `timeout` bounds the
-    idle wait (seconds)."""
+    *idle* wait in seconds (the clock restarts after every executed
+    job)."""
     cache = {}
-    deadline = time.time() + timeout if timeout else None
+    deadline = time.time() + timeout if timeout is not None else None
     while True:
         claimed = None
         for name in sorted(os.listdir(queue_dir)):
@@ -156,7 +167,7 @@ def run_worker(processor_cls, queue_dir, once=False, poll=0.2,
             claimed = (name, path)
             break
         if claimed is None:
-            if deadline and time.time() > deadline:
+            if deadline is not None and time.time() > deadline:
                 return
             time.sleep(poll)
             continue
@@ -173,6 +184,8 @@ def run_worker(processor_cls, queue_dir, once=False, poll=0.2,
         os.unlink(path + '.claimed')
         if once:
             return
+        if deadline is not None:
+            deadline = time.time() + timeout
 
 
 def client_process(address, job):

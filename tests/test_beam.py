@@ -164,3 +164,19 @@ def test_beam_soft_alignments_match_oracle():
             ref_row = np.asarray(ref_aligns[step], np.float32).reshape(-1)
             np.testing.assert_allclose(dense, ref_row, atol=5e-3,
                                        err_msg=f'line {j} step {step}')
+
+
+def test_beam_expand_clamped_to_reservoir():
+    """expand > reservoir must not crash (top-K is taken over R slots);
+    decode_beam clamps K = min(expand, R)."""
+    mapping = CharMapping.from_texts(["abcdefghij .,\n"])
+    config = Seq2SeqConfig(width=8, voc_size=mapping.voc_size)
+    params = init_params(config, seed=7)
+    params['char_embedding']['kernel'] *= 400.0
+    enc = make_onehot_batch(mapping, LINES[:2], pad_to=T)
+    src_len = np.array([len(l) for l in LINES[:2]], np.int32)
+    bp = beam.BeamParams(reservoir=8, expand=48, beam_width_in=6,
+                         beam_width_out=4)
+    out = {k: np.asarray(v) for k, v in beam.decode_beam(
+        params, config, bp, enc, mapping.get('\n'), src_len).items()}
+    assert np.all(out['count'] >= 1)

@@ -241,3 +241,14 @@ def test_api_decode_batch_greedy_wrapper():
     texts, probs, scores, aligns = s2s.decode_batch_greedy(enc)
     assert len(texts) == 1 and len(probs[0]) == len(texts[0])
     assert aligns[0].shape[1] == enc.shape[1]
+
+
+def test_compare_lookup_mixed_key_types():
+    """PAGE-XML OCR (string line ids) against plain-text GT (list):
+    ids that cannot match positionally count as missing, not TypeError."""
+    from cor_asv_ann_tpu.scripts.compare import lookup
+    assert lookup({'l1': 'x'}, 'l1') == 'x'
+    assert lookup({'l1': 'x'}, 'l2') is None
+    assert lookup(['a', 'b'], 1) == 'b'
+    assert lookup(['a', 'b'], 7) is None
+    assert lookup(['a', 'b'], 'l1') is None

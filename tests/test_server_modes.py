@@ -297,3 +297,60 @@ def test_cli_with_mets_server(tmp_path):
         assert set(Workspace(str(ws_dir)).page_files('MARK')) == set(PAGES)
     finally:
         server.stop()
+
+
+def test_align_pageparallel_deterministic(tmp_path, monkeypatch):
+    """AlignLines is page-parallel safe: the per-page aligner state must
+    not be shared across worker threads."""
+    from cor_asv_ann_tpu.wrapper.align import AlignLines
+
+    def run(root, parallel):
+        ws = make_workspace(str(root), PAGES)
+        variants = {'OCR1': 0, 'OCR2': 1, 'OCR3': 2}
+        for grp, shift in variants.items():
+            for pid in PAGES:
+                texts = [t.replace('e', 'c') if shift == 1 else
+                         (t.replace('n', 'u') if shift == 2 else t)
+                         for t in TEXTS[pid]]
+                ws.add_file(grp, pid, make_doc(texts).to_bytes())
+        ws.save()
+        if parallel:
+            monkeypatch.setenv('OCRD_MAX_PARALLEL_PAGES', '4')
+        else:
+            monkeypatch.delenv('OCRD_MAX_PARALLEL_PAGES', raising=False)
+        AlignLines(parameter={'method': 'majority'}).process_workspace(
+            str(root), ['OCR1', 'OCR2', 'OCR3'], 'MAJ')
+        return grp_bytes(root, 'MAJ')
+
+    serial = run(tmp_path / 'serial', False)
+    parallel = run(tmp_path / 'parallel', True)
+    assert serial == parallel
+
+
+def test_worker_idle_timeout_zero(tmp_path):
+    """timeout=0 exits immediately on an empty queue (0 is a real
+    timeout, not 'no timeout')."""
+    import time as _time
+    queue = tmp_path / 'queue'
+    queue.mkdir()
+    t0 = _time.time()
+    run_worker(MarkWords, str(queue), timeout=0)
+    assert _time.time() - t0 < 5
+
+
+def test_execute_job_cache_lru(tmp_path):
+    from cor_asv_ann_tpu.wrapper.server import CACHE_SIZE, execute_job
+    ws_dir = tmp_path / 'ws'
+    build_ws(ws_dir)
+    script = spell_script(tmp_path)
+    cache = {}
+    for i in range(CACHE_SIZE + 2):
+        job = {'workspace': str(ws_dir), 'input_file_grp': 'OCR',
+               'output_file_grp': 'M%d' % i,
+               'parameter': {'command': '%s # v%d' % (script, i),
+                             'format': 'OOV'}}
+        execute_job(MarkWords, job, cache=cache)
+    assert len(cache) == CACHE_SIZE
+    # the oldest parameter sets were evicted, the newest retained
+    kept = [json.loads(k)['command'] for k in cache]
+    assert all(int(c.rsplit('v', 1)[1]) >= 2 for c in kept)
