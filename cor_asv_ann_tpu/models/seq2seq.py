@@ -35,6 +35,14 @@ SHARED_WINDOW = 32
 # per-iteration loop overhead; the training step is latency-bound on
 # ~1000 sequential tiny-matmul scan steps)
 _TEACHER_UNROLL = 4
+# Remat policy for the teacher-forced top decoder scan (None = full
+# rematerialization; see _decode_teacher). dots_saveable measured
+# fwd+bwd-only 12% faster but whole-train-step neutral (NOTES.md), so
+# the memory-lean default stays.
+_TEACHER_REMAT_POLICY = None
+# Decode steps per while-loop iteration in decode_greedy (loop-overhead
+# amortization; >1 trades at most that many gated extra steps per batch)
+_DECODE_UNROLL = 1
 
 
 def cross_sum(x):
@@ -256,8 +264,12 @@ def _decode_teacher(params, config, dec_input, states, attended, u,
     # rematerialize the step in the backward pass: without this, autodiff
     # saves the (B, T, W) attention-energy tanh for every decoder step —
     # Td*B*T*W floats (8GB at B=256, T=Td=128, W=512), which OOMs the
-    # chip; recomputing it costs a fraction of the backward matmul time
-    _, hs = jax.lax.scan(jax.checkpoint(body), (h0, c0, a0), xs,
+    # chip. The policy keeps the small per-step matmul outputs ((B, 4W)
+    # gates etc., ~200MB over Td=128) so the backward recomputes only
+    # the elementwise attention energy, not the LSTM matmuls.
+    ckpt = (jax.checkpoint(body, policy=_TEACHER_REMAT_POLICY)
+            if _TEACHER_REMAT_POLICY is not None else jax.checkpoint(body))
+    _, hs = jax.lax.scan(ckpt, (h0, c0, a0), xs,
                          unroll=_TEACHER_UNROLL)
     out2 = jnp.swapaxes(hs, 0, 1)
     if config.residual_connections and depth > 1:
@@ -321,23 +333,38 @@ def decode_greedy(params, config: Seq2SeqConfig, enc_input,
             exclude=s['done'])
         idx = jnp.argmax(probs[:, 1:], axis=1).astype(jnp.int32) + 1
         p = jnp.take_along_axis(probs, idx[:, None], axis=1)[:, 0]
-        active = ~s['done']
         t = s['t']
-        out_idx = s['out_idx'].at[:, t].set(jnp.where(active, idx, 0))
-        out_prob = s['out_prob'].at[:, t].set(jnp.where(active, p, 0.0))
+        # t can reach S inside an unrolled body group; gate the step and
+        # drop its (out-of-bounds) writes so the 2*T cap semantics hold
+        active = ~s['done'] & (t < S)
+        out_idx = s['out_idx'].at[:, t].set(jnp.where(active, idx, 0),
+                                            mode='drop')
+        out_prob = s['out_prob'].at[:, t].set(jnp.where(active, p, 0.0),
+                                              mode='drop')
         length = s['length'] + active.astype(jnp.int32)
         score = s['score'] + jnp.where(
             active, -jnp.log(p.astype(jnp.float32)), 0.0)
-        done = s['done'] | (idx == newline_idx)
+        done = s['done'] | (active & (idx == newline_idx))
         out_align = s['out_align']
         if return_alignments:
             out_align = out_align.at[:, t, :].set(
-                jnp.where(active[:, None], a, 0.0))
+                jnp.where(active[:, None], a, 0.0), mode='drop')
         return dict(t=t + 1, feedback=probs, layers=tuple(layers), align=a,
                     done=done, out_idx=out_idx, out_prob=out_prob,
                     length=length, score=score, out_align=out_align)
 
-    s = jax.lax.while_loop(cond, body, state0)
+    if _DECODE_UNROLL > 1:
+        # run several decode steps per while iteration: halves the fixed
+        # per-iteration loop overhead at the cost of at most
+        # _DECODE_UNROLL-1 wasted (fully gated) steps per batch
+        def body_group(s):
+            for _ in range(_DECODE_UNROLL):
+                s = body(s)
+            return s
+    else:
+        body_group = body
+
+    s = jax.lax.while_loop(cond, body_group, state0)
     lengths = jnp.maximum(s['length'], 1)
     return (s['out_idx'], s['out_prob'], s['length'],
             s['score'] / lengths,
