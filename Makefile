@@ -3,10 +3,16 @@
 PYTHON ?= python
 
 help:
-	@echo "targets: test, bench, native, entry, clean"
+	@echo "targets: test, test-cpu, bench, native, entry, clean"
 
 test:
 	$(PYTHON) -m pytest tests/ -q
+
+# force the real host-CPU backend (drops the axon TPU plugin injected
+# via PYTHONPATH sitecustomize) — works even when the TPU tunnel is down
+# and makes the 8-device virtual mesh in tests/conftest.py effective
+test-cpu:
+	env -u PYTHONPATH JAX_PLATFORMS=cpu $(PYTHON) -m pytest tests/ -q
 
 bench:
 	$(PYTHON) bench.py

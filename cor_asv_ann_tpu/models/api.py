@@ -52,6 +52,22 @@ def _pack_results(idx, prob, length, score):
          length[:, None].astype(f32), score[:, None].astype(f32)], axis=1)
 
 
+def _expand_windowed_alignment(rows, starts, T):
+    """Expand per-step windowed soft-alignment rows (L, WIN) with window
+    offsets (L,) to a dense (L, T) float32 matrix — the reference's full
+    per-step alignments (transcode.py:279-349 consumes them for Viterbi
+    re-alignment). Vectorized scatter: out-of-bounds window tails
+    (possible for rejection rows whose start is src_pos near T-1) land
+    in a scratch column T that is sliced off, so they can never clobber
+    column T-1."""
+    L, win = rows.shape
+    align = np.zeros((L, T + 1), np.float32)
+    cols = starts[:, None] + np.arange(win)
+    align[np.arange(L)[:, None], np.minimum(cols, T)] = \
+        rows.astype(np.float32)
+    return align[:, :T]
+
+
 class Sequence2Sequence:
     """Character-level seq2seq OCR post-correction on TPU."""
 
@@ -284,9 +300,28 @@ class Sequence2Sequence:
                          for r in res)
         return self._correct_chunks(lines, conf, greedy, return_alignments)
 
+    # chunks dispatched ahead of the one being fetched: the host-side
+    # text reconstruction of chunk k then overlaps the device decode of
+    # chunks k+1..k+DEPTH (jax dispatch is async). Bounded so at most
+    # DEPTH+1 chunks of device result buffers (incl. the (B, S, T)
+    # alignment tensors) are live at once — dispatching everything up
+    # front would hold the whole corpus's buffers on a 16 GB chip.
+    PIPELINE_DEPTH = 2
+
     def _correct_chunks(self, lines, conf, greedy, return_alignments=True):
         B = self.batch_size
         out_lines, out_probs, out_scores, out_aligns = [], [], [], []
+        handles = []
+
+        def finish_oldest():
+            n, handle = handles.pop(0)
+            res = self._finish_batch(handle)
+            for j in range(n):
+                out_lines.append(res[0][j])
+                out_probs.append(res[1][j])
+                out_scores.append(res[2][j])
+                out_aligns.append(res[3][j])
+
         for i in range(0, len(lines), B):
             chunk = lines[i:i + B]
             chunk_conf = conf[i:i + B] if conf else None
@@ -301,13 +336,13 @@ class Sequence2Sequence:
                 chunk = chunk + [''] * (bucket - n)
                 if chunk_conf:
                     chunk_conf = chunk_conf + [[]] * (bucket - n)
-            res = self._correct_batch(chunk, chunk_conf, greedy,
-                                      return_alignments)
-            for j in range(n):
-                out_lines.append(res[0][j])
-                out_probs.append(res[1][j])
-                out_scores.append(res[2][j])
-                out_aligns.append(res[3][j])
+            handles.append(
+                (n, self._dispatch_batch(chunk, chunk_conf, greedy,
+                                         return_alignments)))
+            if len(handles) > self.PIPELINE_DEPTH:
+                finish_oldest()
+        while handles:
+            finish_oldest()
         return out_lines, out_probs, out_scores, out_aligns
 
     def use_mesh(self, mesh=None, n_devices=None):
@@ -367,6 +402,14 @@ class Sequence2Sequence:
 
     def _correct_batch(self, lines, conf, greedy,
                        return_alignments=True):
+        return self._finish_batch(
+            self._dispatch_batch(lines, conf, greedy, return_alignments))
+
+    def _dispatch_batch(self, lines, conf, greedy,
+                        return_alignments=True):
+        """Queue one batch's decode on the device and return a handle
+        (device buffers + metadata) without fetching; `_finish_batch`
+        fetches and reconstructs host results."""
         if conf and any(conf):
             # per-char confidences / confmats need the dense prob array
             enc, _, _, _ = vectorize_lines(
@@ -389,27 +432,12 @@ class Sequence2Sequence:
             idx, prob, length, score, aligns = decode(
                 params, self.config, enc, newline,
                 return_alignments=return_alignments)
-            # pack the four result arrays into one device buffer and
-            # fetch once: each separate fetch pays a full transport
-            # round trip (~30 ms on the tunneled TPU)
-            packed = np.asarray(_pack_results(idx, prob, length, score))
-            S = idx.shape[1]
-            idx = packed[:, :S].astype(np.int32)
-            prob = packed[:, S:2 * S]
-            length = packed[:, 2 * S].astype(np.int32)
-            score = packed[:, 2 * S + 1]
-            if return_alignments:
-                aligns = np.asarray(aligns)
-            out_lines, out_probs, out_scores, out_aligns = [], [], [], []
-            for j in range(len(lines)):
-                L = int(length[j])
-                text = self._indexes2text(idx[j, :L])
-                out_lines.append(text.replace(GAP, ''))
-                out_probs.append(prob[j, :L].tolist())
-                out_scores.append(float(score[j]))
-                out_aligns.append(aligns[j, :L].tolist()
-                                  if return_alignments else [])
-            return out_lines, out_probs, out_scores, out_aligns
+            # pack the four result arrays into one device buffer so the
+            # finish phase fetches once: each separate fetch pays a full
+            # transport round trip (~30 ms on the tunneled TPU)
+            return ('greedy', lines, _pack_results(idx, prob, length,
+                                                   score),
+                    aligns if return_alignments else None, idx.shape[1])
         # beam
         src_len = np.array(
             [self._source_length(l, c)
@@ -429,13 +457,40 @@ class Sequence2Sequence:
             Bb, Fb, Sb, WINb = out['align_row'].shape
             big_parts.append(
                 out['align_row'].astype(f32).reshape(Bb, Fb, Sb * WINb))
-        big = np.asarray(jnp.concatenate(big_parts, axis=2))
-        small = np.asarray(jnp.concatenate(
+        big_dev = jnp.concatenate(big_parts, axis=2)
+        small_dev = jnp.concatenate(
             [out['length'].astype(f32), out['cost'].astype(f32),
              out['cum'].astype(f32),
-             out['count'][:, None].astype(f32)], axis=1))
-        S = out['idx'].shape[2]
-        F = out['length'].shape[1]
+             out['count'][:, None].astype(f32)], axis=1)
+        return ('beam', lines, big_dev, small_dev,
+                out['idx'].shape[2], out['length'].shape[1], T,
+                return_alignments)
+
+    def _finish_batch(self, handle):
+        """Fetch a `_dispatch_batch` handle and rebuild host results."""
+        if handle[0] == 'greedy':
+            _, lines, packed_dev, aligns_dev, S = handle
+            packed = np.asarray(packed_dev)
+            idx = packed[:, :S].astype(np.int32)
+            prob = packed[:, S:2 * S]
+            length = packed[:, 2 * S].astype(np.int32)
+            score = packed[:, 2 * S + 1]
+            return_alignments = aligns_dev is not None
+            if return_alignments:
+                aligns = np.asarray(aligns_dev)
+            out_lines, out_probs, out_scores, out_aligns = [], [], [], []
+            for j in range(len(lines)):
+                L = int(length[j])
+                text = self._indexes2text(idx[j, :L])
+                out_lines.append(text.replace(GAP, ''))
+                out_probs.append(prob[j, :L].tolist())
+                out_scores.append(float(score[j]))
+                out_aligns.append(aligns[j, :L].tolist()
+                                  if return_alignments else [])
+            return out_lines, out_probs, out_scores, out_aligns
+        _, lines, big_dev, small_dev, S, F, T, return_alignments = handle
+        big = np.asarray(big_dev)
+        small = np.asarray(small_dev)
         out = dict(idx=big[:, :, :S].astype(np.int32),
                    prob=big[:, :, S:2 * S],
                    align_start=(big[:, :, 2 * S:3 * S].astype(np.int32)
@@ -474,21 +529,28 @@ class Sequence2Sequence:
                 # raw attention rows otherwise) — the same soft scores
                 # the reference's Viterbi re-alignment and repl plots
                 # consume (reference transcode.py:279-349)
-                rows = out['align_row'][j, 0, :L]
-                starts = out['align_start'][j, 0, :L]
-                align = np.zeros((L, T), np.float32)
-                win = rows.shape[-1]
-                for step in range(L):
-                    start = int(starts[step])
-                    n = min(win, T - start)
-                    align[step, start:start + n] = rows[step, :n]
+                align = _expand_windowed_alignment(
+                    out['align_row'][j, 0, :L],
+                    out['align_start'][j, 0, :L], T)
                 out_aligns.append(align.tolist())
             else:
                 out_aligns.append([])
         return out_lines, out_probs, out_scores, out_aligns
 
     def _indexes2text(self, indexes):
-        return ''.join(self.mapping.i2c[int(i)] for i in indexes)
+        # bulk index->text via a codepoint LUT + UTF-32 decode (an order
+        # of magnitude faster than per-char dict lookups at serving
+        # batch sizes); index 0 maps to codepoint 0, dropped like the
+        # reference's '' entry
+        cached = getattr(self, '_cp_lut', None)
+        if cached is not None and cached[0] is self.mapping \
+                and len(cached[1]) == self.mapping.voc_size:
+            lut = cached[1]
+        else:
+            lut = self.mapping.to_codepoints().astype('<u4')
+            self._cp_lut = (self.mapping, lut)
+        cps = lut[np.asarray(indexes, dtype=np.int64)]
+        return cps.tobytes().decode('utf-32-le').replace('\x00', '')
 
     @staticmethod
     def _source_length(line, conf=None):

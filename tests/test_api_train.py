@@ -170,6 +170,45 @@ def test_length_sorted_multibatch(trained):
             assert o == single[0]
 
 
+def test_expand_windowed_alignment_matches_naive():
+    """Vectorized window-row scatter == the naive per-step loop,
+    including windows whose tail crosses the T boundary (rejection rows
+    started at src_pos near T-1)."""
+    from cor_asv_ann_tpu.models.api import _expand_windowed_alignment
+    rng = np.random.default_rng(7)
+    for L, win, T in ((5, 12, 16), (9, 12, 64), (1, 12, 12), (0, 12, 8)):
+        rows = rng.random((L, win)).astype(np.float32)
+        starts = rng.integers(0, T, L).astype(np.int32)
+        naive = np.zeros((L, T), np.float32)
+        for step in range(L):
+            start = int(starts[step])
+            n = min(win, T - start)
+            naive[step, start:start + n] = rows[step, :n]
+        got = _expand_windowed_alignment(rows, starts, T)
+        assert got.shape == (L, T)
+        assert np.array_equal(got, naive)
+
+
+def test_pipeline_depth_equivalence(trained):
+    """Pipelined chunk dispatch (PIPELINE_DEPTH queued device batches)
+    must produce results identical to strictly serial dispatch/fetch,
+    for greedy and beam, across multiple chunks."""
+    s2s, _, _ = trained
+    lines = (PROBES * (2 * s2s.batch_size // len(PROBES) + 1))[
+        :2 * s2s.batch_size + 3]
+    default_depth = Sequence2Sequence.PIPELINE_DEPTH
+    assert default_depth > 0
+    results = {}
+    try:
+        for depth in (0, default_depth):
+            s2s.PIPELINE_DEPTH = depth
+            results[depth] = s2s.correct_lines(lines, fast=True,
+                                               greedy=True)
+    finally:
+        s2s.PIPELINE_DEPTH = default_depth
+    assert results[0] == results[default_depth]
+
+
 def test_beam_oracle_agreement_trained(trained):
     """On the trained model, the device beam's 1-best must agree with the
     reference-semantics NumPy oracle (global best-first queue)."""
