@@ -308,24 +308,28 @@ class Sequence2Sequence:
     # front would hold the whole corpus's buffers on a 16 GB chip.
     PIPELINE_DEPTH = 2
 
-    def _correct_chunks(self, lines, conf, greedy, return_alignments=True):
-        B = self.batch_size
-        out_lines, out_probs, out_scores, out_aligns = [], [], [], []
+    def correct_stream(self, batches, greedy=True,
+                       return_alignments=False):
+        """Pipeline decoding over an iterator of ``(lines, conf, meta)``
+        batches (each at most ``batch_size`` lines; ``meta`` is passed
+        through untouched), yielding ``(meta, lines, probs, scores,
+        alignments)`` per batch in input order. Up to PIPELINE_DEPTH
+        batches stay queued on the device while the host vectorizes the
+        next inputs and rebuilds text for the oldest fetched one, so
+        host work overlaps device decode across the whole stream —
+        including across file batches in `predict` (the reference
+        serializes these, seq2seq.py:772-776)."""
         handles = []
 
         def finish_oldest():
-            n, handle = handles.pop(0)
+            meta, n, handle = handles.pop(0)
             res = self._finish_batch(handle)
-            for j in range(n):
-                out_lines.append(res[0][j])
-                out_probs.append(res[1][j])
-                out_scores.append(res[2][j])
-                out_aligns.append(res[3][j])
+            return (meta, res[0][:n], res[1][:n], res[2][:n], res[3][:n])
 
-        for i in range(0, len(lines), B):
-            chunk = lines[i:i + B]
-            chunk_conf = conf[i:i + B] if conf else None
-            n = len(chunk)
+        B = self.batch_size
+        for lines, conf, meta in batches:
+            n = len(lines)
+            assert n <= B, 'stream batch larger than batch_size'
             # pad the batch dimension to a power-of-two bucket (bounded
             # set of compiled shapes, no waste on small inputs)
             bucket = 8
@@ -333,17 +337,29 @@ class Sequence2Sequence:
                 bucket *= 2
             bucket = min(bucket, B)
             if n < bucket:
-                chunk = chunk + [''] * (bucket - n)
-                if chunk_conf:
-                    chunk_conf = chunk_conf + [[]] * (bucket - n)
+                lines = list(lines) + [''] * (bucket - n)
+                if conf:
+                    conf = list(conf) + [[]] * (bucket - n)
             handles.append(
-                (n, self._dispatch_batch(chunk, chunk_conf, greedy,
-                                         return_alignments)))
+                (meta, n, self._dispatch_batch(lines, conf, greedy,
+                                               return_alignments)))
             if len(handles) > self.PIPELINE_DEPTH:
-                finish_oldest()
+                yield finish_oldest()
         while handles:
-            finish_oldest()
-        return out_lines, out_probs, out_scores, out_aligns
+            yield finish_oldest()
+
+    def _correct_chunks(self, lines, conf, greedy, return_alignments=True):
+        B = self.batch_size
+        chunks = ((lines[i:i + B], conf[i:i + B] if conf else None, None)
+                  for i in range(0, len(lines), B))
+        out = ([], [], [], [])
+        for _, ls, ps, ss, als in self.correct_stream(
+                chunks, greedy, return_alignments):
+            out[0].extend(ls)
+            out[1].extend(ps)
+            out[2].extend(ss)
+            out[3].extend(als)
+        return out
 
     def use_mesh(self, mesh=None, n_devices=None):
         """Enable multi-chip SPMD execution over a ('data', 'model') mesh
@@ -574,16 +590,26 @@ class Sequence2Sequence:
 
     def predict(self, filenames, fast=False, greedy=False, charmap=None):
         """Apply the model to text files, yielding per batch
-        (filenames, corrected lines, scores) — reference seq2seq.py:756-780."""
+        (filenames, corrected lines, scores) — reference seq2seq.py:756-780.
+
+        Batches are pipelined through `correct_stream`: file reading and
+        vectorization of batch k+1 overlap the device decode of batch k
+        (the reference serializes them, seq2seq.py:772-776)."""
         assert self.status == 2
-        for batch in gen_line_batches(filenames, self.batch_size,
-                                      repeat=False, unsupervised=True,
-                                      charmap=charmap):
-            lines_source, lines_conf, _, lines_filename = batch
-            lines_result, _, scores_result, _ = self.correct_lines(
-                lines_source, lines_conf, fast=fast, greedy=greedy,
-                return_alignments=False)
-            yield (lines_filename, lines_result, scores_result)
+        assert not fast or greedy, \
+            'cannot decode in fast mode with beam search enabled'
+
+        def batches():
+            for batch in gen_line_batches(filenames, self.batch_size,
+                                          repeat=False, unsupervised=True,
+                                          charmap=charmap):
+                lines_source, lines_conf, _, lines_filename = batch
+                yield lines_source, lines_conf, lines_filename
+
+        for fnames, lines_result, _, scores_result, _ in \
+                self.correct_stream(batches(), greedy=greedy,
+                                    return_alignments=False):
+            yield (fnames, lines_result, scores_result)
 
     def evaluate(self, filenames, fast=False, normalization='historic_latin',
                  charmap=None, gt_level=1, confusion=10, histogram=True):

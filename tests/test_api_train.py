@@ -130,6 +130,28 @@ def test_predict_generator(trained, tmp_path):
     assert cer(lines[0], 'ABCA\n') < 0.5
 
 
+def test_predict_pipeline_equivalence(trained, tmp_path):
+    """predict() streams batches through correct_stream; its pipelined
+    results (order, trimming, scores) must match strictly serial
+    dispatch across a multi-batch file."""
+    s2s, _, _ = trained
+    f = tmp_path / 'input.txt'
+    words = (PROBES * (3 * s2s.batch_size // len(PROBES) + 1))[
+        :3 * s2s.batch_size + 5]
+    f.write_text(''.join(words))
+    default_depth = Sequence2Sequence.PIPELINE_DEPTH
+    results = {}
+    try:
+        for depth in (0, default_depth):
+            s2s.PIPELINE_DEPTH = depth
+            results[depth] = list(s2s.predict([str(f)], fast=True,
+                                              greedy=True))
+    finally:
+        s2s.PIPELINE_DEPTH = default_depth
+    assert len(results[0]) > 2    # actually spans several batches
+    assert results[0] == results[default_depth]
+
+
 def test_evaluate(trained, tmp_path):
     s2s, _, _ = trained
     f = tmp_path / 'eval.txt'

@@ -1,6 +1,6 @@
 """Serving-level correct_lines throughput: dispatch-pipeline A/B.
 
-`Sequence2Sequence._correct_chunks` keeps PIPELINE_DEPTH chunks queued on
+`Sequence2Sequence.correct_stream` keeps PIPELINE_DEPTH batches queued on
 the device while the host rebuilds text for the oldest fetched chunk, so
 the per-chunk host work (UTF-32 decode, list building) overlaps device
 decode instead of serializing with it. This tool measures end-to-end
