@@ -326,27 +326,33 @@ class Sequence2Sequence:
             res = self._finish_batch(handle)
             return (meta, res[0][:n], res[1][:n], res[2][:n], res[3][:n])
 
-        B = self.batch_size
         for lines, conf, meta in batches:
-            n = len(lines)
-            assert n <= B, 'stream batch larger than batch_size'
-            # pad the batch dimension to a power-of-two bucket (bounded
-            # set of compiled shapes, no waste on small inputs)
-            bucket = 8
-            while bucket < n:
-                bucket *= 2
-            bucket = min(bucket, B)
-            if n < bucket:
-                lines = list(lines) + [''] * (bucket - n)
-                if conf:
-                    conf = list(conf) + [[]] * (bucket - n)
             handles.append(
-                (meta, n, self._dispatch_batch(lines, conf, greedy,
-                                               return_alignments)))
+                (meta, *self._dispatch_bucketed(lines, conf, greedy,
+                                                return_alignments)))
             if len(handles) > self.PIPELINE_DEPTH:
                 yield finish_oldest()
         while handles:
             yield finish_oldest()
+
+    def _dispatch_bucketed(self, lines, conf, greedy, return_alignments):
+        """Pad one batch (at most ``batch_size`` lines) to its
+        power-of-two bucket (bounded set of compiled shapes, no waste on
+        small inputs) and queue its decode; returns ``(n, handle)`` —
+        `_finish_batch(handle)` results are then trimmed to ``n``."""
+        B = self.batch_size
+        n = len(lines)
+        assert n <= B, 'batch larger than batch_size'
+        bucket = 8
+        while bucket < n:
+            bucket *= 2
+        bucket = min(bucket, B)
+        if n < bucket:
+            lines = list(lines) + [''] * (bucket - n)
+            if conf:
+                conf = list(conf) + [[]] * (bucket - n)
+        return n, self._dispatch_batch(lines, conf, greedy,
+                                       return_alignments)
 
     def _correct_chunks(self, lines, conf, greedy, return_alignments=True):
         B = self.batch_size
@@ -622,44 +628,39 @@ class Sequence2Sequence:
         aligners = {k: Alignment(0, logger=self.logger,
                                  confusion=confusion > 0 and k[0] == 'c')
                     for k in counts}
+        # evaluation is pipelined like correct_stream: both decodes of
+        # batch k stay queued on the device while the host computes the
+        # (expensive) alignment metrics of batch k-1, and up to
+        # PIPELINE_DEPTH batches run ahead
+        pending = []
+
+        def consume_oldest():
+            sources, targets, n, handle_g, handle_b = pending.pop(0)
+            res = self._finish_batch(handle_g)
+            greedy_lines, greedy_scores = res[0][:n], res[2][:n]
+            if handle_b is None:
+                beamed_lines, beamed_scores = greedy_lines, greedy_scores
+            else:
+                res = self._finish_batch(handle_b)
+                beamed_lines, beamed_scores = res[0][:n], res[2][:n]
+            self._evaluate_batch(
+                sources, targets, greedy_lines, greedy_scores,
+                beamed_lines, beamed_scores, counts, aligners,
+                normalization, gt_level)
+
         for batch in gen_line_batches(filenames, self.batch_size,
                                       repeat=False, charmap=charmap):
             sources, confs, targets, _ = batch
-            greedy_lines, _, greedy_scores, _ = self.correct_lines(
-                sources, confs, fast=fast, greedy=True,
-                return_alignments=False)
-            if fast:
-                beamed_lines, beamed_scores = greedy_lines, greedy_scores
-            else:
-                beamed_lines, _, beamed_scores, _ = self.correct_lines(
-                    sources, confs, fast=False, greedy=False,
-                    return_alignments=False)
-            for j, (src, tgt) in enumerate(zip(sources, targets)):
-                if not src or not tgt:
-                    continue
-                self.logger.info('Source input              : %s',
-                                 src.rstrip('\n'))
-                self.logger.info('Target output             : %s',
-                                 tgt.rstrip('\n'))
-                self.logger.info('Target prediction (greedy): %s [%.2f]',
-                                 greedy_lines[j].rstrip('\n'),
-                                 greedy_scores[j])
-                self.logger.info('Target prediction (beamed): %s [%.2f]',
-                                 beamed_lines[j].rstrip('\n'),
-                                 beamed_scores[j])
-                for kind, line in (('OCR', src), ('greedy', greedy_lines[j]),
-                                   ('beamed', beamed_lines[j])):
-                    dist, length = aligners[('c', kind)].get_adjusted_distance(
-                        line, tgt, normalization=normalization,
-                        gtlevel=gt_level)
-                    counts[('c', kind)].add(dist, length, line, tgt)
-                    wsrc, wtgt = splitwords(line), splitwords(tgt)
-                    dist, length = aligners[('w', kind)].get_adjusted_distance(
-                        wsrc, wtgt, normalization=normalization,
-                        gtlevel=gt_level)
-                    counts[('w', kind)].add(dist, length, wsrc, wtgt)
-            counts[('c', 'greedy')].score += sum(greedy_scores)
-            counts[('c', 'beamed')].score += sum(beamed_scores)
+            n, handle_g = self._dispatch_bucketed(sources, confs, True,
+                                                  False)
+            handle_b = (None if fast else
+                        self._dispatch_bucketed(sources, confs, False,
+                                                False)[1])
+            pending.append((sources, targets, n, handle_g, handle_b))
+            if len(pending) > self.PIPELINE_DEPTH:
+                consume_oldest()
+        while pending:
+            consume_oldest()
 
         result = {}
         self.logger.info('finished %d lines', counts[('c', 'OCR')].steps)
@@ -681,6 +682,38 @@ class Sequence2Sequence:
                              kind, c.mean, math.sqrt(c.varia),
                              kind, w.mean, math.sqrt(w.varia))
         return result
+
+    def _evaluate_batch(self, sources, targets, greedy_lines,
+                        greedy_scores, beamed_lines, beamed_scores,
+                        counts, aligners, normalization, gt_level):
+        """Accumulate one batch's alignment metrics (the host-side half
+        of `evaluate`, reference seq2seq.py:703-736)."""
+        for j, (src, tgt) in enumerate(zip(sources, targets)):
+            if not src or not tgt:
+                continue
+            self.logger.info('Source input              : %s',
+                             src.rstrip('\n'))
+            self.logger.info('Target output             : %s',
+                             tgt.rstrip('\n'))
+            self.logger.info('Target prediction (greedy): %s [%.2f]',
+                             greedy_lines[j].rstrip('\n'),
+                             greedy_scores[j])
+            self.logger.info('Target prediction (beamed): %s [%.2f]',
+                             beamed_lines[j].rstrip('\n'),
+                             beamed_scores[j])
+            for kind, line in (('OCR', src), ('greedy', greedy_lines[j]),
+                               ('beamed', beamed_lines[j])):
+                dist, length = aligners[('c', kind)].get_adjusted_distance(
+                    line, tgt, normalization=normalization,
+                    gtlevel=gt_level)
+                counts[('c', kind)].add(dist, length, line, tgt)
+                wsrc, wtgt = splitwords(line), splitwords(tgt)
+                dist, length = aligners[('w', kind)].get_adjusted_distance(
+                    wsrc, wtgt, normalization=normalization,
+                    gtlevel=gt_level)
+                counts[('w', kind)].add(dist, length, wsrc, wtgt)
+        counts[('c', 'greedy')].score += sum(greedy_scores)
+        counts[('c', 'beamed')].score += sum(beamed_scores)
 
     # ------------------------------------------------------------------
     # reference-surface convenience wrappers (lib/seq2seq.py names)

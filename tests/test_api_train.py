@@ -163,6 +163,29 @@ def test_evaluate(trained, tmp_path):
     assert 'perplexity' in result['greedy']
 
 
+def test_evaluate_pipeline_equivalence(trained, tmp_path):
+    """evaluate() pipelines both decodes across batches; its result dict
+    (streaming Edits means/variances, perplexity, confusion) must match
+    strictly serial dispatch on a multi-batch file, greedy and beamed."""
+    s2s, _, _ = trained
+    f = tmp_path / 'eval.txt'
+    rows = [p.rstrip('\n') + '\t' + p.upper().rstrip('\n') for p in PROBES]
+    rows = (rows * (2 * s2s.batch_size // len(rows) + 1))[
+        :2 * s2s.batch_size + 3]
+    f.write_text('\n'.join(rows) + '\n')
+    default_depth = Sequence2Sequence.PIPELINE_DEPTH
+    results = {}
+    try:
+        for depth in (0, default_depth):
+            s2s.PIPELINE_DEPTH = depth
+            results[depth] = s2s.evaluate([str(f)], fast=False,
+                                          normalization='NFC',
+                                          confusion=3, histogram=False)
+    finally:
+        s2s.PIPELINE_DEPTH = default_depth
+    assert results[0] == results[default_depth]
+
+
 def test_incremental_mapping_growth(trained):
     s2s, _, tmp = trained
     import pathlib
@@ -220,15 +243,17 @@ def test_pipeline_depth_equivalence(trained):
         :2 * s2s.batch_size + 3]
     default_depth = Sequence2Sequence.PIPELINE_DEPTH
     assert default_depth > 0
-    results = {}
     try:
-        for depth in (0, default_depth):
-            s2s.PIPELINE_DEPTH = depth
-            results[depth] = s2s.correct_lines(lines, fast=True,
-                                               greedy=True)
+        for greedy in (True, False):
+            results = {}
+            for depth in (0, default_depth):
+                s2s.PIPELINE_DEPTH = depth
+                results[depth] = s2s.correct_lines(
+                    lines, fast=greedy, greedy=greedy)
+            assert results[0] == results[default_depth], \
+                'greedy=%s' % greedy
     finally:
         s2s.PIPELINE_DEPTH = default_depth
-    assert results[0] == results[default_depth]
 
 
 def test_beam_oracle_agreement_trained(trained):
