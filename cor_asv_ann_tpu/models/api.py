@@ -255,8 +255,19 @@ class Sequence2Sequence:
         # the 2*len0 iteration cap), AND faster: wider iterations reach
         # the early-stop rule sooner, and iteration cost is dominated by
         # reservoir-merge overhead, not expansion width
+        # reservoir 2*width_in (>=32) at rejection <= 0.3: halving from
+        # 4*width_in keeps every golden-corpus decode byte-exact and
+        # full agreement with the reference beam at serving settings
+        # (tools/beam_ablation.py, R=32 K=48: 12/12 agree, 0/256
+        # failures) while the per-slot reservoir merges — the dominant
+        # beam iteration cost — shrink ~1.35x (NOTES.md backlog #3).
+        # Higher rejection thresholds spawn longer rejection chains and
+        # genuinely need the deeper reservoir (the r=0.5 golden set
+        # diverges at R=32), so they keep 4*width_in.
+        deep = self.rejection_threshold > 0.3
         return BeamParams(
-            reservoir=max(4 * self.beam_width_in, 64),
+            reservoir=max((4 if deep else 2) * self.beam_width_in,
+                          64 if deep else 32),
             expand=48,
             beam_width_in=int(self.beam_width_in),
             beam_threshold_in=float(self.beam_threshold_in),
