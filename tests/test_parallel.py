@@ -80,6 +80,19 @@ def test_api_use_mesh_serving():
     beam_base, _, _, _ = s2s.correct_lines(lines, fast=False,
                                            greedy=False)
     assert beam_out == beam_base
+    # multi-chunk serving through the mesh: PIPELINE_DEPTH queued
+    # sharded batches, a partial power-of-two bucket (replicated
+    # placement when the batch doesn't divide the data axis), and the
+    # length-sorted scatter-back for inputs larger than batch_size
+    many = (lines * 3)[:19]
+    base_many, _, base_many_s, _ = s2s.correct_lines(many, fast=True,
+                                                     greedy=True)
+    s2s.use_mesh(mesh)
+    mesh_many, _, mesh_many_s, _ = s2s.correct_lines(many, fast=True,
+                                                     greedy=True)
+    s2s.use_mesh(mesh=False)
+    assert mesh_many == base_many
+    np.testing.assert_allclose(mesh_many_s, base_many_s, atol=1e-5)
 
 
 def test_api_mesh_training(tmp_path):
