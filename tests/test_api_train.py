@@ -256,6 +256,39 @@ def test_pipeline_depth_equivalence(trained):
         s2s.PIPELINE_DEPTH = default_depth
 
 
+def test_pipeline_fuzz_modes(trained):
+    """Randomized depth-0 vs pipelined equivalence across the
+    combinations the targeted tests skip: per-char confidence inputs,
+    beam + alignments, odd batch counts/sizes."""
+    s2s, _, _ = trained
+    rng = np.random.default_rng(11)
+    B = s2s.batch_size
+    default_depth = Sequence2Sequence.PIPELINE_DEPTH
+    chars = list('abc')
+    try:
+        for case in range(4):
+            n = int(rng.integers(1, 2 * B + 4))
+            lines = [''.join(rng.choice(chars,
+                                        int(rng.integers(1, 6)))) + '\n'
+                     for _ in range(n)]
+            conf = None
+            if case % 2:
+                conf = [[float(rng.uniform(0.5, 1.0)) for _ in line]
+                        for line in lines]
+            greedy = case < 2
+            results = {}
+            for depth in (0, default_depth):
+                s2s.PIPELINE_DEPTH = depth
+                results[depth] = s2s.correct_lines(
+                    lines, conf=conf, fast=greedy, greedy=greedy,
+                    return_alignments=True)
+            assert results[0] == results[default_depth], \
+                'case %d (n=%d greedy=%s conf=%s)' % (
+                    case, n, greedy, conf is not None)
+    finally:
+        s2s.PIPELINE_DEPTH = default_depth
+
+
 def test_beam_oracle_agreement_trained(trained):
     """On the trained model, the device beam's 1-best must agree with the
     reference-semantics NumPy oracle (global best-first queue)."""
