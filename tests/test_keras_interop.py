@@ -150,14 +150,16 @@ def test_keras_loads_io_h5_written_file(tmp_path):
     np.testing.assert_allclose(probs_jax, probs_keras, atol=2e-5)
 
 
-def test_beam_decode_matches_real_reference(tmp_path):
+@pytest.mark.parametrize('rejection', [0.3, 0.5])
+def test_beam_decode_matches_real_reference(tmp_path, rejection):
     """The device beam byte-matches the REFERENCE'S OWN decode_sequence_beam
     (the genuine code from the reference checkout, running its three Keras
     graphs under tf_keras via keras_ref.reference_s2s) on every line and
     every banked solution — the authoritative beam-parity referee.
 
     Covers reference seq2seq.py:1356-1544 (A* queue, rejection boosts,
-    final skim, early stop) end to end."""
+    final skim, early stop) end to end; rejection 0.5 (the proc/eval CLI
+    default) stresses the longer rejection chains."""
     import numpy as np
     from cor_asv_ann_tpu.models import beam
 
@@ -165,7 +167,7 @@ def test_beam_decode_matches_real_reference(tmp_path):
     path = str(tmp_path / 'model.h5')
     io_h5.save_model(path, params, config, mapping)
     s2s = keras_ref.reference_s2s(path, t_enc=T_ENC)
-    s2s.rejection_threshold = 0.3
+    s2s.rejection_threshold = rejection
     s2s.beam_width_in = 6
     s2s.beam_threshold_in = 0.2
     s2s.beam_width_out = 4
@@ -174,7 +176,7 @@ def test_beam_decode_matches_real_reference(tmp_path):
     enc = make_onehot_batch(mapping, LINES, pad_to=T_ENC)
     src_len = np.full(len(LINES), T_ENC, np.int32)
     bp = beam.BeamParams(reservoir=192, expand=8, beam_width_in=6,
-                         beam_width_out=4)
+                         beam_width_out=4, rejection_threshold=rejection)
     out = {k: np.asarray(v) for k, v in beam.decode_beam(
         params, config, bp, enc, mapping.get('\n'), src_len).items()}
 
