@@ -236,22 +236,53 @@ def bench_baseline_reference(enc, model_path, greedy_batch=256,
     return greedy_lps, beam_lps
 
 
+def _ensure_live_backend():
+    """Probe the default JAX backend in a subprocess; if the TPU tunnel
+    is wedged (every op blocks forever at buffer fetch, NOTES.md 7),
+    re-exec this script on the host-CPU backend instead of hanging the
+    driver until the watchdog kills us with no data point at all. The
+    fallback run is disclosed via BENCH_BACKEND=cpu -> "backend": "cpu"
+    in the JSON and uses reduced sizes (one host core)."""
+    import subprocess
+    if os.environ.get('BENCH_BACKEND') == 'cpu':
+        return 'cpu'
+    probe = ("import jax, jax.numpy as jnp; "
+             "(jnp.ones(3) + 1).block_until_ready()")
+    try:
+        rc = subprocess.run([sys.executable, '-c', probe],
+                            timeout=180).returncode
+    except subprocess.TimeoutExpired:
+        rc = -1
+    if rc == 0:
+        return 'device'
+    sys.stderr.write('bench.py: device probe failed (rc=%s) — TPU '
+                     'tunnel appears wedged; falling back to the '
+                     'host-CPU backend\n' % rc)
+    sys.stderr.flush()
+    env = {k: v for k, v in os.environ.items() if k != 'PYTHONPATH'}
+    env['JAX_PLATFORMS'] = 'cpu'
+    env['BENCH_BACKEND'] = 'cpu'
+    os.execvpe(sys.executable, [sys.executable,
+                                os.path.abspath(__file__)], env)
+
+
 def main():
-    # watchdog: the tunnel to the TPU occasionally wedges, blocking the
-    # main thread inside a C++ device call where Python signal handlers
-    # cannot run — a watchdog *thread* with os._exit is the only reliable
-    # way to die loudly instead of hanging the driver. 900s covers a
-    # slow-day build+compile+20 repeats comfortably (typical run <60s).
-    import os
+    cpu_fallback = _ensure_live_backend() == 'cpu'
+    # watchdog: the tunnel to the TPU occasionally wedges mid-run,
+    # blocking the main thread inside a C++ device call where Python
+    # signal handlers cannot run — a watchdog *thread* with os._exit is
+    # the only reliable way to die loudly instead of hanging the driver.
+    # 900s covers a slow-day build+compile+20 repeats comfortably
+    # (typical run <60s); the single-core CPU fallback gets more.
     import threading
 
     def _die():
-        sys.stderr.write('bench.py: watchdog expired after 900s — '
-                         'TPU tunnel appears wedged\n')
+        sys.stderr.write('bench.py: watchdog expired — TPU tunnel '
+                         'appears wedged\n')
         sys.stderr.flush()
         os._exit(3)
 
-    watchdog = threading.Timer(900, _die)
+    watchdog = threading.Timer(2700 if cpu_fallback else 900, _die)
     watchdog.daemon = True
     watchdog.start()
     # the bundled trained flagship (d2/w512): early-terminates on
@@ -260,16 +291,19 @@ def main():
     # one, under-reporting real throughput ~2x)
     config, mapping, params = build_flagship()
     # batch 1024 saturates the chip (per-step overhead amortizes across
-    # lines; beyond that HBM working sets start to spill)
-    batch, min_len, pad = 1024, 50, 64
+    # lines; beyond that HBM working sets start to spill); the CPU
+    # fallback shrinks batches/repeats to finish on one host core
+    batch, min_len, pad = (128, 50, 64) if cpu_fallback else (1024, 50, 64)
+    repeats = 3 if cpu_fallback else 20
     enc = make_flagship_lines(mapping, batch, min_len, pad)
-    lines_per_sec, steps = bench_tpu(params, config, mapping, enc)
-    # beamed serving point: batch 256 lines, serving beam settings
-    beam_batch = 256
+    lines_per_sec, steps = bench_tpu(params, config, mapping, enc,
+                                     repeats=repeats)
+    # beamed serving point: serving beam settings
+    beam_batch = 64 if cpu_fallback else 256
     src_len = np.sum(np.any(enc[:beam_batch] != 0, axis=2),
                      axis=1).astype(np.int32)
     beam_lps = bench_tpu_beam(params, config, mapping, enc[:beam_batch],
-                              src_len)
+                              src_len, repeats=1 if cpu_fallback else 5)
     model_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               FLAGSHIP)
     ref = bench_baseline_reference(enc[:8], model_path)
@@ -281,10 +315,6 @@ def main():
                                            steps)
         base_beam = None
         baseline_kind = 'numpy_host_proxy'
-    # long-line point: T=256 bucket exercises the windowed-gather
-    # decoder (decode_greedy_windowed, the T>=128 serving path)
-    long_enc = make_flagship_lines(mapping, 256, 220, 256)
-    long_lps, _ = bench_tpu(params, config, mapping, long_enc, repeats=5)
     result = {
         'metric': 'greedy_decode_throughput_d2w512',
         'value': round(lines_per_sec, 2),
@@ -297,11 +327,19 @@ def main():
             'vs_baseline': (round(beam_lps / base_beam, 2)
                             if base_beam else None),
         },
-        'long_lines_T256': {
+    }
+    if cpu_fallback:
+        result['backend'] = 'cpu'
+    else:
+        # long-line point: T=256 bucket exercises the windowed-gather
+        # decoder (decode_greedy_windowed, the T>=128 serving path)
+        long_enc = make_flagship_lines(mapping, 256, 220, 256)
+        long_lps, _ = bench_tpu(params, config, mapping, long_enc,
+                                repeats=5)
+        result['long_lines_T256'] = {
             'value': round(long_lps, 2),
             'unit': 'lines/sec/chip',
-        },
-    }
+        }
     print(json.dumps(result))
     watchdog.cancel()
 
