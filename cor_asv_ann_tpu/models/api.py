@@ -12,8 +12,11 @@ TPU-first differences:
 - both greedy and beamed decoding run entirely on device (the reference's
   'fast' flag only switched between batch-parallel and per-line host
   loops; here greedy is always batch-parallel, so fast==greedy),
-- beam alignments are recorded as per-step window centers (see
-  models/beam.py); they are expanded to one-hot vectors for API parity.
+- beam alignments are recorded as windowed soft rows (WIN scores + a
+  window start per step, models/beam.py align_row/align_start) and
+  expanded host-side to dense length-T soft-alignment vectors
+  (_expand_windowed_alignment), so the transcode Viterbi path and the
+  repl plots run on real soft alignments for beamed output too.
 """
 
 import logging
@@ -574,15 +577,10 @@ class Sequence2Sequence:
         # bulk index->text via a codepoint LUT + UTF-32 decode (an order
         # of magnitude faster than per-char dict lookups at serving
         # batch sizes); index 0 maps to codepoint 0, dropped like the
-        # reference's '' entry
-        cached = getattr(self, '_cp_lut', None)
-        if cached is not None and cached[0] is self.mapping \
-                and len(cached[1]) == self.mapping.voc_size:
-            lut = cached[1]
-        else:
-            lut = self.mapping.to_codepoints().astype('<u4')
-            self._cp_lut = (self.mapping, lut)
-        cps = lut[np.asarray(indexes, dtype=np.int64)]
+        # reference's '' entry. The LUT is cached on the mapping itself
+        # (CharMapping.inverse_lut), same invalidation as its forward lut
+        cps = self.mapping.inverse_lut()[np.asarray(indexes,
+                                                    dtype=np.int64)]
         return cps.tobytes().decode('utf-32-le').replace('\x00', '')
 
     @staticmethod

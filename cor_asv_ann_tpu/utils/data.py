@@ -111,6 +111,17 @@ class CharMapping:
             self._lut_size = self.voc_size
         return self._lut
 
+    def inverse_lut(self):
+        """Index -> codepoint lookup table ('' entry -> 0), cached with
+        the same invalidation rule as :meth:`lut` (one rule, both
+        directions). Enables vectorized decoding: one gather + utf-32
+        encode instead of a dict lookup per character."""
+        if getattr(self, '_inv_lut', None) is None or \
+                self._inv_lut_size != self.voc_size:
+            self._inv_lut = self.to_codepoints().astype('<u4')
+            self._inv_lut_size = self.voc_size
+        return self._inv_lut
+
     def encode(self, text):
         """Vectorized char->index array for `text` (unmapped -> 0)."""
         if not text:

@@ -150,20 +150,50 @@ class MetsServer:
             self._thread.join(timeout=5)
 
 
-def _call(family, address, method, **params):
+#: seconds before a client call to a hung/killed METS server errors out
+#: instead of blocking a page worker forever (override per call if a
+#: single request can legitimately run longer)
+CALL_TIMEOUT = 120.0
+
+
+def _call(family, address, method, timeout=None, **params):
     with socket.socket(family, socket.SOCK_STREAM) as sock:
-        sock.connect(address)
-        sock.sendall(json.dumps({'method': method, 'params': params})
-                     .encode('utf-8') + b'\n')
-        chunks = []
-        while True:
-            chunk = sock.recv(1 << 16)
-            if not chunk:
-                break
-            chunks.append(chunk)
-            if chunk.endswith(b'\n'):
-                break
-    reply = json.loads(b''.join(chunks).decode('utf-8'))
+        sock.settimeout(CALL_TIMEOUT if timeout is None else timeout)
+        try:
+            sock.connect(address)
+            sock.sendall(json.dumps({'method': method, 'params': params})
+                         .encode('utf-8') + b'\n')
+            chunks = []
+            while True:
+                chunk = sock.recv(1 << 16)
+                if not chunk:
+                    break
+                chunks.append(chunk)
+                if chunk.endswith(b'\n'):
+                    break
+        except socket.timeout:
+            raise RuntimeError(
+                'METS server at %r did not answer %r within %.0fs (server '
+                'hung or overloaded?)' % (address, method,
+                                          CALL_TIMEOUT if timeout is None
+                                          else timeout)) from None
+        except ConnectionError as err:
+            # a dying server can reset instead of FIN-closing the socket
+            raise RuntimeError(
+                'METS server at %r closed the connection without replying '
+                'to %r (%s; server died?)' % (address, method, err)) \
+                from None
+    raw = b''.join(chunks)
+    if not raw.strip():
+        raise RuntimeError(
+            'METS server at %r closed the connection without replying to '
+            '%r (server died?)' % (address, method))
+    try:
+        reply = json.loads(raw.decode('utf-8'))
+    except (UnicodeDecodeError, json.JSONDecodeError) as err:
+        raise RuntimeError(
+            'METS server at %r sent a truncated/invalid reply to %r: %s'
+            % (address, method, err)) from None
     if 'error' in reply:
         raise RuntimeError('METS server: ' + reply['error'])
     return reply['result']

@@ -106,9 +106,10 @@ class PageProcessor:
 
         With OCRD_MAX_PARALLEL_PAGES > 1 (and `max_workers` allowing),
         pages are parsed and processed in a thread pool; results are
-        registered in deterministic page order afterwards, so a METS
+        registered incrementally in deterministic page order, so a METS
         server (utils/mets_server.py) or the in-process Workspace sees
-        exactly the serial sequence of writes."""
+        exactly the serial sequence of writes, and a failing page leaves
+        every earlier page's output registered (like the serial path)."""
         if isinstance(workspace, str):
             workspace = Workspace(workspace)
         if isinstance(input_grps, str):
@@ -137,17 +138,25 @@ class PageProcessor:
                 return None
             return self.process_page(docs, page_id)
 
+        def register(page_id, result):
+            if result is not None and output_grp:
+                workspace.add_file(output_grp, page_id, result.to_bytes(),
+                                   file_id='%s_%s' % (output_grp, page_id))
+
         parallel = self._parallel_pages(len(pages))
         if parallel > 1:
             from concurrent.futures import ThreadPoolExecutor
             with ThreadPoolExecutor(max_workers=parallel) as pool:
-                results = list(pool.map(handle_page, pages))
+                # pool.map yields in page order as results complete, so
+                # each finished page is registered before the next is
+                # awaited — an exception on page k propagates with pages
+                # < k already registered, exactly like the serial path
+                for page_id, result in zip(pages,
+                                           pool.map(handle_page, pages)):
+                    register(page_id, result)
         else:
-            results = map(handle_page, pages)
-        for page_id, result in zip(pages, results):
-            if result is not None and output_grp:
-                workspace.add_file(output_grp, page_id, result.to_bytes(),
-                                   file_id='%s_%s' % (output_grp, page_id))
+            for page_id in pages:
+                register(page_id, handle_page(page_id))
         self.end_document(workspace, input_grps, output_grp)
         workspace.save()
 

@@ -112,6 +112,19 @@ class EvaluateLines(PageProcessor):
                                             confusion=bool(confusion)))
             self.waligners.append(Alignment(logger=self.logger))
 
+    def setup(self):
+        # initialized here (not only in start_document / the
+        # process_workspace override) so per-page use without the
+        # workspace runner — e.g. through the OCR-D core adapter, which
+        # drives document iteration itself — still works
+        self.input_file_grps = None
+        self.cedits, self.wedits = [], []
+        self.caligners, self.waligners = [], []
+        self._workspace = None
+        self._output_grp = None
+        self._page_report = None
+        self.report = None
+
     def start_document(self, workspace, input_grps, output_grp):
         self.input_file_grps = input_grps
         self.cedits, self.wedits = [], []
@@ -132,6 +145,10 @@ class EvaluateLines(PageProcessor):
         entry['char-error-worst-lines'] = [str(ex) for ex in cedits[i].worst]
 
     def process_page(self, docs, page_id):
+        if self.input_file_grps is None:
+            # bare per-page use: seed document state from the page shape
+            self.start_document(
+                None, ['input-%d' % i for i in range(len(docs))], None)
         metric = self.parameter['metric']
         gtlevel = int(self.parameter['gt_level'])
         confusion = self.parameter['confusion']

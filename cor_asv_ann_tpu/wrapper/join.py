@@ -23,8 +23,19 @@ class JoinLines(PageProcessor):
         'add-filegrp-index': {'type': 'boolean', 'default': False},
     }
 
+    def setup(self):
+        # per-page use without the workspace runner (OCR-D core adapter)
+        # must not crash on add-filegrp-comments; the adapter seeds real
+        # fileGrp names via start_document, this is the bare fallback
+        self.input_file_grps = None
+
     def start_document(self, workspace, input_grps, output_grp):
         self.input_file_grps = input_grps
+
+    def _grp_name(self, i):
+        if self.input_file_grps is not None:
+            return self.input_file_grps[i]
+        return 'input-%d' % i
 
     def process_page(self, docs, page_id):
         comments = self.parameter['add-filegrp-comments']
@@ -53,7 +64,7 @@ class JoinLines(PageProcessor):
                     entry = dict(unicode=te.unicode, conf=te.conf,
                                  index=te.index, comments=te.comments)
                     if comments:
-                        entry['comments'] = self.input_file_grps[i]
+                        entry['comments'] = self._grp_name(i)
                     if index:
                         entry['index'] = i
                     gathered.append(entry)

@@ -62,16 +62,45 @@ def make_processor_class(page_processor_cls, ocrd_module=None,
             self._inner = page_processor_cls(
                 parameter=dict(self.parameter or {}),
                 logger=getattr(self, 'logger', None))
+            self._document_started = False
+
+        def _start_document_once(self, n_inputs):
+            # OCR-D core drives document iteration itself and only calls
+            # the per-page hook, so document-scope state the standalone
+            # runner would seed via start_document (input fileGrp names,
+            # aggregate stats — EvaluateLines/JoinLines) is seeded here
+            # from the core Processor's own attributes on first page
+            if self._document_started:
+                return
+            grps = getattr(self, 'input_file_grp', None) or ''
+            grps = [g for g in grps.split(',') if g]
+            if len(grps) != n_inputs:
+                grps = (grps + ['input-%d' % i for i in range(n_inputs)]
+                        )[:n_inputs]
+            self._inner.start_document(
+                None, grps, getattr(self, 'output_file_grp', None))
+            self._document_started = True
 
         def process_page_pcgts(self, *input_pcgts, page_id=None):
             docs = [parse_page(ocrd_page.to_xml(pcgts))
                     if pcgts is not None else None
                     for pcgts in input_pcgts]
+            self._start_document_once(len(docs))
             result = self._inner.process_page(docs, page_id)
             if result is None:
                 result = docs[0]
             out = ocrd_page.parseString(result.to_bytes())
             return ocrd.OcrdPageResult(out)
+
+        def shutdown(self):
+            # flush document-level aggregation (e.g. EvaluateLines'
+            # summary report) when core tears the processor down
+            if getattr(self, '_document_started', False):
+                self._inner.end_document(None, None, None)
+                self._document_started = False
+            parent = getattr(super(), 'shutdown', None)
+            if parent is not None:
+                parent()
 
     BridgedProcessor.__name__ = 'Ocrd' + page_processor_cls.__name__
     BridgedProcessor.__qualname__ = BridgedProcessor.__name__

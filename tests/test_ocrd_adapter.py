@@ -106,6 +106,64 @@ def test_bridge_marks_unknown_words():
     assert comments == ['UNKNOWN', 'UNKNOWN']
 
 
+def test_bridge_evaluate_runs_per_page():
+    """The bridged EvaluateLines must run through the per-page protocol
+    (OCR-D core never calls start_document/process_workspace): document
+    state is seeded lazily from the core Processor's fileGrp attributes,
+    pages aggregate, and shutdown() flushes the document report."""
+    ocrd, ocrd_page = make_stub_modules()
+    cls = ocrd_adapter.BRIDGES['ocrd-cor-asv-ann-evaluate'](
+        ocrd_module=ocrd, page_module=ocrd_page)
+    proc = cls(parameter={'metric': 'Levenshtein'})
+    proc.input_file_grp = 'GT,OCR'
+    gt = StubPage(_page_with_line('Der Hund').to_bytes().decode('utf-8'))
+    ocr = StubPage(_page_with_line('Der Hvnd').to_bytes().decode('utf-8'))
+    result = proc.process_page_pcgts(gt, ocr, page_id='p1')
+    assert isinstance(result, StubResult)
+    # second page keeps aggregating into the same document stats
+    proc.process_page_pcgts(gt, ocr, page_id='p2')
+    proc.shutdown()
+    report = proc._inner.report
+    assert 'OCR,GT' in report
+    assert report['OCR,GT']['num-lines'] == 2
+    # 1 substitution in 8 chars on each page
+    assert report['OCR,GT']['char-error-rate-mean'] == \
+        pytest.approx(1 / 8)
+
+
+def test_bridge_join_filegrp_comments():
+    """The bridged JoinLines tags joined TextEquivs with real fileGrp
+    names taken from the core Processor's input_file_grp attribute."""
+    ocrd, ocrd_page = make_stub_modules()
+    cls = ocrd_adapter.BRIDGES['ocrd-cor-asv-ann-join'](
+        ocrd_module=ocrd, page_module=ocrd_page)
+    proc = cls(parameter={'add-filegrp-comments': True})
+    proc.input_file_grp = 'GT,OCR'
+    a = StubPage(_page_with_line('Der Hund').to_bytes().decode('utf-8'))
+    b = StubPage(_page_with_line('Der Hvnd').to_bytes().decode('utf-8'))
+    result = proc.process_page_pcgts(a, b, page_id='p1')
+    joined = P.parse_page(result.pcgts.xml)
+    equivs = joined.get_lines()[0].get_textequivs()
+    assert [(e.unicode, e.comments) for e in equivs] == \
+        [('Der Hund', 'GT'), ('Der Hvnd', 'OCR')]
+
+
+def test_bridge_join_without_grp_names():
+    """Without fileGrp attributes on the core Processor, the bridge
+    falls back to positional names instead of crashing."""
+    ocrd, ocrd_page = make_stub_modules()
+    cls = ocrd_adapter.BRIDGES['ocrd-cor-asv-ann-join'](
+        ocrd_module=ocrd, page_module=ocrd_page)
+    proc = cls(parameter={'add-filegrp-comments': True})
+    a = StubPage(_page_with_line('aa').to_bytes().decode('utf-8'))
+    b = StubPage(_page_with_line('ab').to_bytes().decode('utf-8'))
+    result = proc.process_page_pcgts(a, b, page_id='p1')
+    joined = P.parse_page(result.pcgts.xml)
+    comments = [e.comments
+                for e in joined.get_lines()[0].get_textequivs()]
+    assert comments == ['input-0', 'input-1']
+
+
 def test_all_five_processors_bridge():
     """Every reference processor executable has a buildable bridge."""
     ocrd, ocrd_page = make_stub_modules()

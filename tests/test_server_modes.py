@@ -165,6 +165,65 @@ def test_mark_runtime_configs(tmp_path, monkeypatch, config):
     assert got == grp_bytes(base_dir, 'MARK')
 
 
+def test_pageparallel_partial_registration(tmp_path, monkeypatch):
+    """A failing page must not discard earlier pages' outputs: the
+    parallel pool registers results incrementally in page order, so
+    pages before the failure are in the output fileGrp (exactly like
+    the serial path), pages at/after it are not."""
+    from cor_asv_ann_tpu.wrapper.base import PageProcessor
+
+    class Flaky(PageProcessor):
+        executable = 'test-flaky'
+
+        def process_page(self, docs, page_id):
+            if page_id == 'p3':
+                raise RuntimeError('boom on p3')
+            return docs[0]
+
+    ws_dir = tmp_path / 'ws'
+    build_ws(ws_dir)
+    monkeypatch.setenv('OCRD_MAX_PARALLEL_PAGES', '4')
+    ws = Workspace(str(ws_dir))
+    with pytest.raises(RuntimeError, match='boom on p3'):
+        Flaky(parameter={}).process_workspace(ws, ['OCR'], 'OUT')
+    registered = set(ws.page_files('OUT'))
+    assert registered == {'p1', 'p2'}
+
+
+def test_mets_client_dead_server(tmp_path, monkeypatch):
+    """A METS server that dies mid-request (closes without replying) or
+    hangs must surface a clear RuntimeError instead of a bare
+    JSONDecodeError / an indefinite block."""
+    import socket
+    import time
+    from cor_asv_ann_tpu.utils import mets_server as M
+
+    sock_path = str(tmp_path / 'dead.sock')
+    srv = socket.socket(socket.AF_UNIX)
+    srv.bind(sock_path)
+    srv.listen(2)
+
+    def accept_and_close():
+        conn, _ = srv.accept()
+        conn.close()
+
+    threading.Thread(target=accept_and_close, daemon=True).start()
+    client = MetsClientWorkspace(sock_path)
+    with pytest.raises(RuntimeError, match='without replying'):
+        client.page_ids()
+
+    def accept_and_hang():
+        conn, _ = srv.accept()
+        time.sleep(10)
+        conn.close()
+
+    threading.Thread(target=accept_and_hang, daemon=True).start()
+    monkeypatch.setattr(M, 'CALL_TIMEOUT', 0.3)
+    with pytest.raises(RuntimeError, match='did not answer'):
+        client.page_ids()
+    srv.close()
+
+
 def test_parallel_caps(monkeypatch):
     monkeypatch.setenv('OCRD_MAX_PARALLEL_PAGES', '4')
     assert EvaluateLines(parameter={})._parallel_pages(8) == 1
