@@ -161,7 +161,9 @@ def sample_ratio(schedule, epoch, epochs):
     """Scheduled-sampling ratio curves (seq2seq.py:859-878)."""
     attenuation = 3
     if schedule == 'linear':
-        return attenuation * (epoch - 1) / (epochs - 1)
+        # max() guards single-epoch runs (the reference's bare
+        # epochs - 1 divides by zero there); ratio is 0 either way
+        return attenuation * (epoch - 1) / max(1, epochs - 1)
     if schedule == 'sigmoid':
         return 1 / (1 + math.exp(5 - 10 * attenuation * epoch / epochs))
     if schedule == 'exponential':
@@ -471,7 +473,13 @@ def _vectorize(mapping, sources, targets, confs, logger):
 def _degrade_encoder(enc):
     """Underspecify ~1% of lines' one random position to index 0
     (seq2seq.py:909-915); works on dense (B, T, V) or index (B, T)
-    batches."""
+    batches.
+
+    Reference-faithful quirks (both forms match the reference's dense
+    `eye[0]` assignment exactly): the position is drawn over the PADDED
+    batch length, so for short lines most hits land in padding — and a
+    padding hit writes a non-zero index-0 row there, un-masking a
+    phantom post-EOS step for the encoder of that line."""
     B, T = enc.shape[:2]
     u = np.random.uniform(0, 1, B)
     pos = (T * u / 0.01).astype(int)

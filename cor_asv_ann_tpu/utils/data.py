@@ -152,9 +152,15 @@ def _parse_pickled_entry(entry):
     list, or a confusion network (list of chunks of (string, prob)
     alternatives).  An entry whose text does not end in a newline is
     replaced by a bare end-of-sequence, like the reference does
-    (seq2seq.py:961-965)."""
+    (seq2seq.py:961-965) — but in the entry's OWN format (the reference
+    always substitutes a confmat, which poisons the batch's format
+    detection and crashes its vectorization on prob-line sources; same
+    for plain strings, which it misreads as confmats)."""
     src, tgt = entry
-    if not src:
+    if isinstance(src, str):
+        # plain-string source: text only, no confidence channel
+        text, conf = src, None
+    elif not src:
         text, conf = '', []
     elif isinstance(src[0], tuple):
         chars, probs = zip(*src)
@@ -163,7 +169,10 @@ def _parse_pickled_entry(entry):
         conf = src
         text = ''.join(chunk[0][0] if chunk else '' for chunk in conf)
     if not text.endswith('\n'):
-        text, conf = '\n', [[('\n', 1.0)]]
+        text = '\n'
+        if conf is not None:
+            conf = [[('\n', 1.0)]] if conf and isinstance(conf[0], list) \
+                else [1.0]
     return text, conf, tgt
 
 
@@ -172,7 +181,9 @@ def _parse_text_row(raw, unsupervised):
     gains the end-of-sequence newline the tab stripped."""
     if unsupervised and '\t' not in raw:
         return raw, None, raw
-    src, tgt = raw.split('\t')
+    # maxsplit keeps a stray tab inside the target from killing the run
+    # (the reference's bare split() raises ValueError on such rows)
+    src, tgt = raw.split('\t', 1)
     return src + '\n', None, tgt
 
 
@@ -195,8 +206,15 @@ def _iter_file_lines(filename, unsupervised=False, charmap=None):
             if charmap:
                 src = src.translate(charmap)
                 tgt = tgt.translate(charmap)
-            yield (unicodedata.normalize('NFC', src), conf,
-                   unicodedata.normalize('NFC', tgt))
+            src = unicodedata.normalize('NFC', src)
+            if conf and not isinstance(conf[0], list) \
+                    and len(conf) != len(src):
+                # NFC composition changed the char count after the
+                # per-char confidences were extracted: keep them aligned
+                # by truncating/padding (the reference silently ignores
+                # surplus conf entries; a shortfall crashes it)
+                conf = (list(conf) + [1.0] * len(src))[:len(src)]
+            yield (src, conf, unicodedata.normalize('NFC', tgt))
     finally:
         if handle:
             handle.close()
@@ -231,10 +249,17 @@ def gen_line_batches(filenames, batch_size, repeat=False, split=None,
 
     `split` is a shared random vector over line numbers; lines whose value
     is below 0.2 belong to validation (train=False keeps them, train=True
-    skips them) — reference lib/seq2seq.py:944-948.
+    skips them) — reference lib/seq2seq.py:944-948. Reference-faithful
+    quirk: the line number restarts per FILE (both here and in the
+    reference), so with multiple files the same split entries are reused
+    per file (line k of every file shares one fate) and entries beyond
+    the longest file are never consulted; the i.i.d. uniform draw keeps
+    the validation fraction at ~0.2 regardless.
     `is_bad(source, target) -> bool` filters badly aligned training pairs.
-    When `repeat`, yields None at each epoch end (epoch marker); otherwise a
-    final partial batch is padded with empty lines, like the reference.
+    When `repeat`, yields None at each epoch end (epoch marker) and the
+    trailing partial batch is dropped — the reference's deliberate "bury
+    remaining lines" (seq2seq.py:1005-1007); otherwise the final partial
+    batch is padded with empty lines, like the reference.
     """
     split_ratio = 0.2
     if charmap:
@@ -300,6 +325,17 @@ def vectorize_lines(mapping, sources, targets, confs=None,
         first = next(c for c in confs if c)
         if first and isinstance(first[0], list):
             with_confmat = True
+            # the format is detected batch-wide from the first line with
+            # conf; coerce per-char prob lines (and conf-less text
+            # lines, prob 1.0) in the batch into the equivalent
+            # single-alternative chunks over their source text
+            def _chunks(c, s):
+                if c and isinstance(c[0], list):
+                    return c
+                if c:
+                    return [[(ch, p)] for ch, p in zip(s, c)]
+                return [[(ch, 1.0)] for ch in s]
+            confs = [_chunks(c, s) for c, s in zip(confs, sources)]
             enc_lens = [
                 sum(max((len(alt[0]) for alt in chunk), default=0)
                     for chunk in (c or []))
@@ -341,8 +377,15 @@ def vectorize_lines(mapping, sources, targets, confs=None,
                         logger.error('unmapped character "%s" at encoder '
                                      'input sequence %d', sources[i][k], i)
             pos = np.arange(len(idx))
-            if confs is not None and confs[i]:
-                enc[i, pos, idx] = np.asarray(confs[i], np.float32)
+            ci = confs[i] if confs is not None else None
+            if ci and isinstance(ci[0], list):
+                # confmat line in a per-char prob batch: per-char probs
+                # of the top alternatives (the source text is exactly
+                # their concatenation, _parse_pickled_entry)
+                ci = [p for chunk in ci if chunk
+                      for p in [chunk[0][1]] * len(chunk[0][0])]
+            if ci:
+                enc[i, pos, idx] = np.asarray(ci, np.float32)
             else:
                 enc[i, pos, idx] = 1.0
         idx = mapping.encode(targets[i])

@@ -107,6 +107,7 @@ def load_weights(filename, config: Seq2SeqConfig, logger=None,
     W, d = config.width, config.depth
     deep = config.deep_bidirectional_encoder
     missing = []
+    LSTM_KEYS = ('kernel', 'recurrent_kernel', 'bias')
     with h5py.File(filename, 'r') as f:
         root = f
         if 'layer_names' not in root.attrs and 'model_weights' in root:
@@ -118,18 +119,35 @@ def load_weights(filename, config: Seq2SeqConfig, logger=None,
             missing.append(name)
             return None
 
+        def require(layer, got, want):
+            # a group that exists but yields fewer weights than the
+            # topology needs (e.g. weight_names paths that resolve to
+            # nothing in _collect_datasets) must be as loud as a
+            # missing group — never a silently half-random layer
+            absent = [k for k in want if k not in got]
+            if absent:
+                missing.append('%s (present but without %s)'
+                               % (layer, ','.join(absent)))
+
         g = layer_group('char_input_projection')
         if g is not None:
             ds = _collect_datasets(g)
-            assert ds, 'char_input_projection has no weights'
-            params['char_embedding']['kernel'] = ds[0][1].astype(np.float32)
+            require('char_input_projection',
+                    {'kernel'} if ds else set(), ('kernel',))
+            if ds:
+                params['char_embedding']['kernel'] = \
+                    ds[0][1].astype(np.float32)
         g = layer_group('attention_dense')
         if g is not None:
             ds = _collect_datasets(g)
-            assert ds, 'attention_dense has no weights'
-            params['attention_dense']['kernel'] = ds[0][1].astype(np.float32)
+            require('attention_dense',
+                    {'kernel'} if ds else set(), ('kernel',))
+            if ds:
+                params['attention_dense']['kernel'] = \
+                    ds[0][1].astype(np.float32)
         for n in range(d):
-            g = layer_group('encoder_lstm_%d' % (n + 1))
+            name = 'encoder_lstm_%d' % (n + 1)
+            g = layer_group(name)
             if g is None:
                 if logger:
                     logger.warning('missing encoder_lstm_%d', n + 1)
@@ -140,37 +158,56 @@ def load_weights(filename, config: Seq2SeqConfig, logger=None,
                 bw = [(p, a) for p, a in ds if 'backward' in p]
                 if not fw:  # fall back to positional halves
                     fw, bw = ds[:len(ds) // 2], ds[len(ds) // 2:]
-                params['encoder'][n]['fw'].update(_pick_lstm(fw, W))
-                params['encoder'][n]['bw'].update(_pick_lstm(bw, W))
+                wf, wb = _pick_lstm(fw, W), _pick_lstm(bw, W)
+                require(name + '/forward', wf, LSTM_KEYS)
+                require(name + '/backward', wb, LSTM_KEYS)
+                params['encoder'][n]['fw'].update(wf)
+                params['encoder'][n]['bw'].update(wb)
             else:
-                params['encoder'][n].update(_pick_lstm(ds, W))
+                w = _pick_lstm(ds, W)
+                require(name, w, LSTM_KEYS)
+                params['encoder'][n].update(w)
         for n in range(d):
-            g = layer_group('decoder_lstm_%d' % (n + 1))
+            name = 'decoder_lstm_%d' % (n + 1)
+            g = layer_group(name)
             if g is None:
                 if logger:
                     logger.warning('missing decoder_lstm_%d', n + 1)
                 continue
             ds = _collect_datasets(g)
             if n < d - 1:
-                params['decoder'][n].update(_pick_lstm(ds, W))
+                w = _pick_lstm(ds, W)
+                require(name, w, LSTM_KEYS)
+                params['decoder'][n].update(w)
             else:
                 top = params['decoder'][n]
-                top['cell'].update(_pick_lstm(ds, W))
+                w = _pick_lstm(ds, W)
+                require(name + '/cell', w, LSTM_KEYS)
+                top['cell'].update(w)
+                found = set()
                 for path, arr in ds:
                     base = _basename(path)
                     if base in ('W_a', 'v_a', 'b_UW', 'b_v'):
                         top[base] = arr.astype(np.float32)
+                        found.add(base)
+                require(name + '/attention', found,
+                        ('W_a', 'v_a', 'b_UW', 'b_v'))
         if config.bridge_dense:
             for n in range(d):
                 for s in ('h', 'c'):
-                    g = layer_group('bridge_%s_%d' % (s, n + 1))
+                    name = 'bridge_%s_%d' % (s, n + 1)
+                    g = layer_group(name)
                     if g is None:
                         continue
                     ds = _collect_datasets(g)
+                    found = set()
                     for path, arr in ds:
                         base = _basename(path)
                         if base in ('kernel', 'bias'):
-                            params['bridge'][n][s][base] = arr.astype(np.float32)
+                            params['bridge'][n][s][base] = \
+                                arr.astype(np.float32)
+                            found.add(base)
+                    require(name, found, ('kernel', 'bias'))
     if missing:
         if not partial:
             raise ValueError(
@@ -320,6 +357,8 @@ def load_transfer_weights(filename, params, config: Seq2SeqConfig,
             if n == 0 or deep:
                 fw = [(p, a) for p, a in ds if 'forward' in p]
                 bw = [(p, a) for p, a in ds if 'backward' in p]
+                if not fw:  # positional halves, like load_weights
+                    fw, bw = ds[:len(ds) // 2], ds[len(ds) // 2:]
                 for sub, pair in (('fw', fw), ('bw', bw)):
                     w = _pick_lstm(pair, W)
                     for k, v in w.items():

@@ -102,6 +102,88 @@ def test_gen_line_batches_pkl_probs(tmp_path):
     assert tgts == ['ab\n']
 
 
+def test_pkl_plain_string_entries(tmp_path):
+    """Plain-string pkl sources are text-only (conf None), not
+    misdetected as confusion networks (which crashes vectorization —
+    as it does in the reference)."""
+    f = tmp_path / 'data.pkl'
+    f.write_bytes(pickle.dumps([('abc\n', 'abc\n'), ('xy', 'xy\n')]))
+    (srcs, confs, tgts, _), = gen_line_batches([str(f)], 2)
+    assert srcs == ['abc\n', '\n']  # no trailing newline -> bare EOS
+    assert confs is None
+    from cor_asv_ann_tpu.utils.data import CharMapping, vectorize_lines
+    m = CharMapping.from_texts(srcs + tgts)
+    enc, *_ = vectorize_lines(m, srcs, tgts, confs)
+    assert enc.shape[0] == 2
+
+
+def test_pkl_missing_newline_keeps_entry_format(tmp_path):
+    """The bare-EOS replacement for a truncated line stays in the
+    entry's own conf format, so one short line cannot poison a
+    prob-line batch with a confmat (which crashes vectorization both
+    here and in the reference)."""
+    from cor_asv_ann_tpu.utils.data import CharMapping, vectorize_lines
+    f = tmp_path / 'data.pkl'
+    data = [([('a', 0.9), ('b', 0.8), ('\n', 1.0)], 'ab\n'),
+            ([('a', 0.7), ('b', 0.6)], 'ab\n')]  # no newline
+    f.write_bytes(pickle.dumps(data))
+    (srcs, confs, tgts, _), = gen_line_batches([str(f)], 2)
+    assert srcs == ['ab\n', '\n']
+    assert confs == [[0.9, 0.8, 1.0], [1.0]]
+    m = CharMapping.from_texts(srcs + tgts)
+    enc, *_ = vectorize_lines(m, srcs, tgts, confs)
+    assert enc[0, 0, m.get('a')] == np.float32(0.9)
+    assert enc[1, 0, m.get('\n')] == 1.0
+
+
+def test_mixed_conf_formats_vectorize(tmp_path):
+    """A prob line and a confmat in ONE batch vectorize equivalently
+    regardless of which format is detected first (batch-wide detection
+    coerces per line)."""
+    from cor_asv_ann_tpu.utils.data import CharMapping, vectorize_lines
+    m = CharMapping.from_texts(['ab\n'])
+    prob_line, prob_conf = 'ab\n', [0.9, 0.8, 1.0]
+    cm_line = 'ab\n'
+    cm_conf = [[('a', 0.9)], [('b', 0.8)], [('\n', 1.0)]]
+    for confs in ([prob_conf, cm_conf], [cm_conf, prob_conf]):
+        enc, *_ = vectorize_lines(m, [prob_line, cm_line],
+                                  ['ab\n', 'ab\n'], confs)
+        np.testing.assert_array_equal(enc[0], enc[1])
+        assert enc[0, 1, m.get('b')] == np.float32(0.8)
+    # a conf-less plain-text line in a confmat batch keeps its text
+    # (one-hot, prob 1.0) instead of vectorizing to all-padding
+    enc, *_ = vectorize_lines(m, ['ab\n', 'ab\n'], ['ab\n', 'ab\n'],
+                              [cm_conf, None])
+    assert enc[1, 0, m.get('a')] == 1.0
+    assert enc[1, 2, m.get('\n')] == 1.0
+
+
+def test_nfc_composition_realigns_conf(tmp_path):
+    """NFC composition shortens 'e' + combining acute to one char; the
+    per-char confidences are realigned instead of crashing
+    vectorization."""
+    f = tmp_path / 'data.pkl'
+    data = [([('e', 0.9), ('́', 0.7), ('\n', 1.0)], 'é\n')]
+    f.write_bytes(pickle.dumps(data))
+    (srcs, confs, tgts, _), = gen_line_batches([str(f)], 1)
+    assert srcs == ['é\n']
+    assert len(confs[0]) == len(srcs[0])
+    from cor_asv_ann_tpu.utils.data import CharMapping, vectorize_lines
+    m = CharMapping.from_texts(srcs + tgts)
+    enc, *_ = vectorize_lines(m, srcs, tgts, confs)
+    assert enc[0, 0, m.get('é')] == np.float32(0.9)
+
+
+def test_tab_inside_target_row(tmp_path):
+    """A stray tab inside the target column must not abort the whole
+    run (the reference's bare split() raises there)."""
+    f = tmp_path / 'data.txt'
+    f.write_text('ab\tta\tb\n')
+    (srcs, confs, tgts, _), = gen_line_batches([str(f)], 1)
+    assert srcs == ['ab\n']
+    assert tgts == ['ta\tb\n']
+
+
 def test_scan_files(tmp_path):
     f = tmp_path / 'data.txt'
     f.write_text("ab\tabc\n")

@@ -145,3 +145,58 @@ def test_truncated_file_fails_loudly(tmp_path):
     params2 = io_h5.load_weights(path, config, partial=True)
     np.testing.assert_array_equal(params2['encoder'][1]['bias'],
                                   params['encoder'][1]['bias'])
+
+
+def test_incomplete_group_fails_loudly(tmp_path):
+    """A layer group that exists but is missing weights inside (e.g.
+    weight_names paths that resolve to no dataset) must be as loud as a
+    missing group, not a silently half-random layer."""
+    import h5py
+    mapping = CharMapping.from_texts(["ab\n"])
+    config = Seq2SeqConfig(width=4, depth=2, voc_size=mapping.voc_size)
+    params = init_params(config, seed=0)
+    path = str(tmp_path / 'model.h5')
+    io_h5.save_model(path, params, config, mapping)
+    with h5py.File(path, 'r+') as f:
+        g = f['decoder_lstm_1']
+        # drop one dataset but leave the group and its weight_names
+        victim = [n.decode() for n in g.attrs['weight_names']
+                  if n.decode().endswith('recurrent_kernel:0')][0]
+        del g[victim]
+    with pytest.raises(ValueError, match='decoder_lstm_1.*recurrent'):
+        io_h5.load_weights(path, config)
+    io_h5.load_weights(path, config, partial=True)  # downgraded
+
+
+def test_transfer_positional_halves_encoder(tmp_path):
+    """load_transfer_weights must load a bidirectional encoder donor
+    whose weight paths lack 'forward'/'backward' markers (positional
+    halves), like load_weights does."""
+    import h5py
+    mapping = CharMapping.from_texts(["ab\n"])
+    config = Seq2SeqConfig(width=4, depth=1, voc_size=mapping.voc_size)
+    donor = init_params(config, seed=3)
+    path = str(tmp_path / 'donor.h5')
+    io_h5.save_model(path, donor, config, mapping)
+    with h5py.File(path, 'r+') as f:
+        g = f['encoder_lstm_1']
+        arrs = []
+        for name in list(g.attrs['weight_names']):
+            name = name.decode()
+            arrs.append((name.split('/')[-1].split(':')[0],
+                         np.asarray(g[name])))
+            del g[name]
+        # re-store fw then bw halves under direction-free auto-names
+        # (Keras-style 'cell_<i>/kernel:0' paths, no forward/backward)
+        names = []
+        for i, (base, v) in enumerate(arrs):
+            flat = 'cell_%d/%s:0' % (i // 3, base)
+            g.create_dataset(flat, data=v)
+            names.append(flat.encode())
+        g.attrs['weight_names'] = np.array(names)
+    fresh = init_params(config, seed=9)
+    loaded, _, _ = io_h5.load_transfer_weights(path, fresh, config)
+    np.testing.assert_array_equal(loaded['encoder'][0]['fw']['kernel'],
+                                  donor['encoder'][0]['fw']['kernel'])
+    np.testing.assert_array_equal(loaded['encoder'][0]['bw']['bias'],
+                                  donor['encoder'][0]['bw']['bias'])
