@@ -153,6 +153,10 @@ class Sequence2Sequence:
             deep_bidirectional_encoder=bool(self.deep_bidirectional_encoder),
             bridge_dense=bool(self.bridge_dense),
             dropout=float(self.dropout), stateful=bool(self.stateful),
+            # the reference hard-codes the ±5 local attention window
+            # (attention.py local mode); 0 = global attention (served on
+            # the dense decoder at every length)
+            window_width=int(getattr(self, 'window_width', 5)),
             # length-masked recurrence/attention: results independent of
             # padded length and batchmates (see Seq2SeqConfig docs);
             # reference-parity (run-through) mode is available by setting
@@ -463,8 +467,12 @@ class Sequence2Sequence:
         newline = self.mapping.get('\n')
         params = self._infer_params()
         if greedy:
+            # windowed-gather decoding is inherently window-based; a
+            # global-attention model (window_width 0) must stay on the
+            # dense decoder at every length
             decode = (decode_greedy_windowed
-                      if T >= WINDOWED_DECODE_MIN_T else decode_greedy)
+                      if T >= WINDOWED_DECODE_MIN_T
+                      and self.config.window_width > 0 else decode_greedy)
             idx, prob, length, score, aligns = decode(
                 params, self.config, enc, newline,
                 return_alignments=return_alignments)

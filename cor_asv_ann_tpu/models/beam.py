@@ -59,8 +59,9 @@ import jax
 import jax.numpy as jnp
 
 from .config import Seq2SeqConfig
+from . import seq2seq
 from .seq2seq import encode
-from ..ops.lstm import lstm_step, mm
+from ..ops.lstm import mm
 
 INF = jnp.inf
 
@@ -134,17 +135,9 @@ def beam_decoder_step(params, config, feedback, layer_states, aw, astart,
     B, K, V = feedback.shape
     T = attended.shape[1]
     WIN = aw.shape[-1]
-    x = mm(feedback, params['char_embedding']['kernel'])
-    new_states = []
-    out = x
-    for n in range(depth - 1):
-        lw = params['decoder'][n]
-        h, c = lstm_step(out, *layer_states[n], lw)
-        new_states.append((h, c))
-        if config.residual_connections and n > 0:
-            out = h + out
-        else:
-            out = h
+    step = seq2seq.decode_step_fn(config)
+    out, new_states = seq2seq.decoder_lower_stack(params, config, feedback,
+                                                  layer_states, step)
     top = params['decoder'][depth - 1]
     h_prev, c_prev = layer_states[depth - 1]
     # expected previous source position t0 = prev_a . arange + 1
@@ -170,35 +163,19 @@ def beam_decoder_step(params, config, feedback, layer_states, aw, astart,
     a_w = a_w * jnp.any(visible, axis=-1, keepdims=True)
     ctx = jnp.einsum('bkn,bkna->bka', a_w, att_w,
                      preferred_element_type=jnp.float32)
-    cell_in = jnp.concatenate([out, ctx], axis=-1)
-    h, c = lstm_step(cell_in, h_prev, c_prev, top['cell'])
-    new_states.append((h, c))
-    if config.residual_connections and depth > 1:
-        out = h + out
-    else:
-        out = h
-    logits = mm(out, params['char_embedding']['kernel'].T)
-    probs = jax.nn.softmax(logits, axis=-1)
+    probs, hc = seq2seq.decoder_top_cell(params, config, out, ctx, h_prev,
+                                         c_prev, step)
+    new_states.append(hc)
     exp_pos = jnp.sum(a_w * win_ix.astype(a_w.dtype), axis=-1)
     if not with_lm:
         return probs, tuple(new_states), a_w, new_start, exp_pos
     # LM readout: same layers/input states, zero attention context
-    lm_out = x
-    for n in range(depth - 1):
-        lw = params['decoder'][n]
-        h_lm, _ = lstm_step(lm_out, *layer_states[n], lw)
-        if config.residual_connections and n > 0:
-            lm_out = h_lm + lm_out
-        else:
-            lm_out = h_lm
-    lm_in = jnp.concatenate([lm_out, jnp.zeros_like(ctx)], axis=-1)
-    h_lm, _ = lstm_step(lm_in, h_prev, c_prev, top['cell'])
-    if config.residual_connections and depth > 1:
-        lm_out = h_lm + lm_out
-    else:
-        lm_out = h_lm
-    lm_logits = mm(lm_out, params['char_embedding']['kernel'].T)
-    lm_probs = jax.nn.softmax(lm_logits, axis=-1)
+    # (states discarded — reference decoder_model lm branch)
+    lm_out, _ = seq2seq.decoder_lower_stack(params, config, feedback,
+                                            layer_states, step)
+    lm_probs, _ = seq2seq.decoder_top_cell(params, config, lm_out,
+                                           jnp.zeros_like(ctx), h_prev,
+                                           c_prev, step)
     return probs, tuple(new_states), a_w, new_start, exp_pos, lm_probs
 
 

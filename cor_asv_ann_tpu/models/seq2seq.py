@@ -123,6 +123,54 @@ def _output_probs(params, h):
     return jax.nn.softmax(logits, axis=-1)
 
 
+def decode_step_fn(config: Seq2SeqConfig):
+    """The per-step LSTM cell update honoring `use_pallas_lstm`."""
+    if config.use_pallas_lstm:
+        from ..ops.pallas_lstm import lstm_step_auto
+        return lstm_step_auto
+    return lstm_step
+
+
+def decoder_lower_stack(params, config: Seq2SeqConfig, feedback,
+                        layer_states, step=None):
+    """Embedding + the attention-free lower decoder layers.
+
+    Shared by the greedy, windowed and beam step decoders (the cell ops
+    are shape-agnostic in the leading dims, so (B, V) and (B, K, V)
+    feedback both work). Returns (pre-top activation, new lower states).
+    """
+    step = step or decode_step_fn(config)
+    x = mm(feedback, params['char_embedding']['kernel'])
+    new_states = []
+    out = x
+    for n in range(config.depth - 1):
+        lw = params['decoder'][n]
+        h, c = step(out, *layer_states[n], lw)
+        new_states.append((h, c))
+        if config.residual_connections and n > 0:
+            out = h + out
+        else:
+            out = h
+    return out, new_states
+
+
+def decoder_top_cell(params, config: Seq2SeqConfig, out, ctx, h_prev,
+                     c_prev, step=None):
+    """Top attention-cell update + weight-tied softmax readout.
+
+    `out` is the lower-stack activation, `ctx` the attention context.
+    Returns (probs, (h, c))."""
+    step = step or decode_step_fn(config)
+    top = params['decoder'][config.depth - 1]
+    cell_in = jnp.concatenate([out, ctx], axis=-1)
+    h, c = step(cell_in, h_prev, c_prev, top['cell'])
+    if config.residual_connections and config.depth > 1:
+        out = h + out
+    else:
+        out = h
+    return _output_probs(params, out), (h, c)
+
+
 def decoder_step(params, config: Seq2SeqConfig, feedback, states, attended,
                  u, enc_mask=None, shared_window=0, exclude=None):
     """One decoder step for all layers.
@@ -137,21 +185,9 @@ def decoder_step(params, config: Seq2SeqConfig, feedback, states, attended,
     """
     depth = config.depth
     layer_states, prev_a = states
-    step = lstm_step
-    if config.use_pallas_lstm:
-        from ..ops.pallas_lstm import lstm_step_auto
-        step = lstm_step_auto
-    x = mm(feedback, params['char_embedding']['kernel'])
-    new_states = []
-    out = x
-    for n in range(depth - 1):
-        lw = params['decoder'][n]
-        h, c = step(out, *layer_states[n], lw)
-        new_states.append((h, c))
-        if config.residual_connections and n > 0:
-            out = h + out
-        else:
-            out = h
+    step = decode_step_fn(config)
+    out, new_states = decoder_lower_stack(params, config, feedback,
+                                          layer_states, step)
     top = params['decoder'][depth - 1]
     h_prev, c_prev = layer_states[depth - 1]
     if shared_window:
@@ -163,14 +199,10 @@ def decoder_step(params, config: Seq2SeqConfig, feedback, states, attended,
         ctx, a = attention_step(top['W_a'], top['v_a'], top['b_UW'],
                                 top['b_v'], h_prev, prev_a, attended, u,
                                 config.window_width, mask=enc_mask)
-    cell_in = jnp.concatenate([out, ctx], axis=-1)
-    h, c = step(cell_in, h_prev, c_prev, top['cell'])
-    new_states.append((h, c))
-    if config.residual_connections and depth > 1:
-        out = h + out
-    else:
-        out = h
-    return _output_probs(params, out), (new_states, a), a
+    probs, hc = decoder_top_cell(params, config, out, ctx, h_prev, c_prev,
+                                 step)
+    new_states.append(hc)
+    return probs, (new_states, a), a
 
 
 def forward_teacher(params, config: Seq2SeqConfig, enc_input, dec_input,
@@ -302,7 +334,7 @@ def decode_greedy(params, config: Seq2SeqConfig, enc_input,
     """
     enc_input = ensure_onehot(enc_input, config, params)
     B, T, V = enc_input.shape
-    S = max_steps or 2 * T
+    S = 2 * T if max_steps is None else max_steps
     attended, states, u = encode(params, config, enc_input)
     enc_mask = (jnp.any(enc_input != 0, axis=2)
                 if config.mask_padding else None)
@@ -372,7 +404,7 @@ def decode_greedy(params, config: Seq2SeqConfig, enc_input,
 
 
 def _windowed_attention(top, h_prev, aw, astart, attended, u, ww,
-                        shared_width, exclude=None, src_lengths=None):
+                        shared_width, exclude=None, enc_mask=None):
     """Attention step over windowed state (aw (B,WIN) + astart (B,)).
 
     Fast path: when every live line's ±ww window fits inside one
@@ -382,9 +414,12 @@ def _windowed_attention(top, h_prev, aw, astart, attended, u, ww,
     per-line gathers of the WIN visible rows (never the dense full-T
     read). Both branches see the identical visible position set.
 
+    `enc_mask` (B, T) marks the true (non-zero) encoder rows, exactly
+    like decode_greedy's attention mask — positional, so an all-zero row
+    mid-line (a zero-confidence char) is hidden on both serving paths.
+
     Returns (ctx (B, A) float32, aw (B, WIN), astart (B,)).
     """
-    from ..ops.lstm import mm
     B, T, A = attended.shape
     WIN = aw.shape[-1]
     SW = min(shared_width, T)
@@ -400,10 +435,10 @@ def _windowed_attention(top, h_prev, aw, astart, attended, u, ww,
                          max(T - WIN, 0))
     w_vec = mm(h_prev, top['W_a']) + top['b_UW']
 
-    def finish(s_en, positions, rows_att):
+    def finish(s_en, positions, rows_att, mask_rows):
         visible = jnp.abs(t0[:, None] - positions.astype(t0.dtype)) <= ww
-        if src_lengths is not None:
-            visible = visible & (positions < src_lengths[:, None])
+        if mask_rows is not None:
+            visible = visible & mask_rows
         s_m = jnp.where(visible, s_en, -1e30)
         a = jax.nn.softmax(s_m, axis=-1)
         a = a * jnp.any(visible, axis=-1, keepdims=True)
@@ -417,7 +452,9 @@ def _windowed_attention(top, h_prev, aw, astart, attended, u, ww,
         att_w = attended[jnp.arange(B)[:, None], win_ix]
         s_en = (mm(jnp.tanh(w_vec[:, None, :] + u_w),
                    top['v_a'])[..., 0] + top['b_v'])
-        a, ctx = finish(s_en, win_ix, att_w)
+        m_w = (enc_mask[jnp.arange(B)[:, None], win_ix]
+               if enc_mask is not None else None)
+        a, ctx = finish(s_en, win_ix, att_w, m_w)
         return ctx, a
 
     def shared(lo):
@@ -426,7 +463,9 @@ def _windowed_attention(top, h_prev, aw, astart, attended, u, ww,
         s_en = (mm(jnp.tanh(w_vec[:, None, :] + u_s),
                    top['v_a'])[..., 0] + top['b_v'])
         pos = lo + jnp.arange(SW)
-        a_s, ctx = finish(s_en, jnp.broadcast_to(pos, (B, SW)), att_s)
+        m_s = (jax.lax.dynamic_slice(enc_mask, (0, lo), (B, SW))
+               if enc_mask is not None else None)
+        a_s, ctx = finish(s_en, jnp.broadcast_to(pos, (B, SW)), att_s, m_s)
         # re-window: each line's WIN columns start at new_start - lo
         # (in range whenever the fit test passed; excluded lines may
         # clip — their alignment is never consumed)
@@ -473,14 +512,17 @@ def decode_greedy_windowed(params, config: Seq2SeqConfig, enc_input,
     """
     enc_input = ensure_onehot(enc_input, config, params)
     B, T, V = enc_input.shape
-    S = max_steps or 2 * T
+    S = 2 * T if max_steps is None else max_steps
     depth = config.depth
     WIN = min(2 * config.window_width + 2, T)
     attended, states, u = encode(params, config, enc_input)
-    lengths = (jnp.sum(jnp.any(enc_input != 0, axis=2), axis=1)
-               if config.mask_padding else None)
+    # positional mask, same as decode_greedy: an all-zero row mid-line
+    # (zero-confidence char) is hidden, not just positions past a length
+    enc_mask = (jnp.any(enc_input != 0, axis=2)
+                if config.mask_padding else None)
     live0 = jnp.any(enc_input.reshape(B, -1) != 0, axis=1)
     top = params['decoder'][depth - 1]
+    step = decode_step_fn(config)
 
     state0 = dict(
         t=jnp.array(0, jnp.int32),
@@ -501,31 +543,18 @@ def decode_greedy_windowed(params, config: Seq2SeqConfig, enc_input,
         return (s['t'] < S) & ~jnp.all(s['done'])
 
     def body(s):
-        x = mm(s['feedback'], params['char_embedding']['kernel'])
-        out = x
-        new_states = []
         layer_states = list(s['layers'])
-        for n in range(depth - 1):
-            lw = params['decoder'][n]
-            h, c = lstm_step(out, *layer_states[n], lw)
-            new_states.append((h, c))
-            if config.residual_connections and n > 0:
-                out = h + out
-            else:
-                out = h
+        out, new_states = decoder_lower_stack(params, config,
+                                              s['feedback'], layer_states,
+                                              step)
         h_prev, c_prev = layer_states[depth - 1]
         ctx, a_w, a_start = _windowed_attention(
             top, h_prev, s['aw'], s['astart'], attended, u,
             config.window_width, SHARED_WINDOW, exclude=s['done'],
-            src_lengths=lengths)
-        cell_in = jnp.concatenate([out, ctx], axis=-1)
-        h, c = lstm_step(cell_in, h_prev, c_prev, top['cell'])
-        new_states.append((h, c))
-        if config.residual_connections and depth > 1:
-            out = h + out
-        else:
-            out = h
-        probs = _output_probs(params, out)
+            enc_mask=enc_mask)
+        probs, hc = decoder_top_cell(params, config, out, ctx, h_prev,
+                                     c_prev, step)
+        new_states.append(hc)
         idx = jnp.argmax(probs[:, 1:], axis=1).astype(jnp.int32) + 1
         p = jnp.take_along_axis(probs, idx[:, None], axis=1)[:, 0]
         active = ~s['done']

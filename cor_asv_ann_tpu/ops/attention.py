@@ -56,7 +56,10 @@ def attention_step_shared(W_a, v_a, b_UW, b_v, h_prev, prev_a, attended, u,
     from .lstm import mm
     B, T, A = attended.shape
     SW = shared_width
-    if T <= SW:
+    if not window_width or window_width <= 0 or T <= SW:
+        # global attention (window_width 0) has no window to share — the
+        # shared branch's |t0-pos| <= ww keep-mask would differ from the
+        # dense branch, which skips it entirely (_attention_step guard)
         return _attention_step(W_a, v_a, b_UW, b_v, h_prev, prev_a,
                                attended, u, window_width, mask)
     if T > 256 and jnp.dtype(prev_a.dtype).itemsize < 4:

@@ -115,5 +115,15 @@ def lstm_step_auto(x, h, c, w):
     with confident outputs are unaffected in practice; the float32 path
     stays the parity reference."""
     on_tpu = jax.default_backend() == 'tpu'
+    if x.ndim > 2:
+        # hypotheses-parallel callers (models/beam.py) carry (B, K, ...)
+        # shapes; the kernel grid is 2D, so flatten the leading dims
+        lead = x.shape[:-1]
+        h2, c2 = lstm_step_fused(
+            x.reshape(-1, x.shape[-1]), h.reshape(-1, h.shape[-1]),
+            c.reshape(-1, c.shape[-1]), w['kernel'],
+            w['recurrent_kernel'], w['bias'], interpret=not on_tpu)
+        return (h2.reshape(lead + h2.shape[-1:]),
+                c2.reshape(lead + c2.shape[-1:]))
     return lstm_step_fused(x, h, c, w['kernel'], w['recurrent_kernel'],
                            w['bias'], interpret=not on_tpu)

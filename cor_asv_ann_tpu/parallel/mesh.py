@@ -21,15 +21,20 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def make_mesh(n_devices=None, data_axis=None):
     """Create a ('data', 'model') mesh over the first n devices.
 
-    `data_axis` fixes the data-parallel degree; by default use all
-    devices for data parallelism when the count is prime/small, else
-    a 2-way model axis.
+    `data_axis` fixes the data-parallel degree; by default all devices
+    go to data parallelism (this workload scales in lines, module
+    docstring) except at 4+ even devices, where a 2-way model axis is
+    carved out for width-512+ tensor parallelism.
     """
     devices = jax.devices()[:n_devices] if n_devices else jax.devices()
     n = len(devices)
     if data_axis is None:
-        model = 2 if n % 2 == 0 and n > 1 else 1
+        model = 2 if n % 2 == 0 and n >= 4 else 1
         data_axis = n // model
+    if n % data_axis:
+        raise ValueError(
+            'data_axis %d does not divide the %d available devices'
+            % (data_axis, n))
     model = n // data_axis
     mesh_devices = np.array(devices).reshape(data_axis, model)
     return Mesh(mesh_devices, ('data', 'model'))

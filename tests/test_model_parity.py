@@ -124,6 +124,73 @@ def test_windowed_equals_full_greedy(tiny_setup):
                                atol=1e-5)
 
 
+def test_windowed_equals_full_greedy_zero_conf_row(tiny_setup):
+    """A zero-confidence char (all-zero encoder row mid-line) must be
+    masked identically by the dense and windowed serving paths: both
+    hide exactly that row (positional mask), not just positions past a
+    summed length."""
+    config, mapping, params = tiny_setup
+    import copy
+    params = copy.deepcopy(params)
+    params['char_embedding']['kernel'] = \
+        params['char_embedding']['kernel'] * 400.0
+    enc = make_onehot_batch(mapping, LINES, pad_to=20)
+    enc[0, 3, :] = 0.0   # conf-0.0 char inside line 0
+    newline = mapping.get('\n')
+    full = seq2seq.decode_greedy(params, config, enc, newline)
+    win = seq2seq.decode_greedy_windowed(params, config, enc, newline)
+    np.testing.assert_array_equal(np.asarray(full[0]), np.asarray(win[0]))
+    np.testing.assert_array_equal(np.asarray(full[2]), np.asarray(win[2]))
+
+
+def test_shared_attention_global_window():
+    """With window_width=0 (global attention) the shared fast path must
+    defer to the dense step — its window keep-mask has no meaning."""
+    from cor_asv_ann_tpu.ops import attention as ATT
+    rng = np.random.default_rng(0)
+    B, T, W, A = 4, 64, 8, 16
+    args = (rng.standard_normal((W, W)).astype(np.float32),       # W_a
+            rng.standard_normal((W, 1)).astype(np.float32),       # v_a
+            rng.standard_normal((W,)).astype(np.float32),         # b_UW
+            rng.standard_normal((1,)).astype(np.float32),         # b_v
+            rng.standard_normal((B, W)).astype(np.float32))       # h_prev
+    prev_a = rng.random((B, T)).astype(np.float32)
+    prev_a /= prev_a.sum(1, keepdims=True)
+    attended = rng.standard_normal((B, T, A)).astype(np.float32)
+    u = rng.standard_normal((B, T, W)).astype(np.float32)
+    ctx_s, a_s = ATT.attention_step_shared(*args, prev_a, attended, u,
+                                           window_width=0, shared_width=32)
+    ctx_d, a_d = ATT._attention_step(*args, prev_a, attended, u,
+                                     window_width=0)
+    np.testing.assert_array_equal(np.asarray(ctx_s), np.asarray(ctx_d))
+    np.testing.assert_array_equal(np.asarray(a_s), np.asarray(a_d))
+
+
+def test_api_global_attention_long_lines():
+    """A global-attention model (window_width 0) must serve long buckets
+    on the dense decoder (the windowed-gather path is window-based)."""
+    from cor_asv_ann_tpu.models.api import Sequence2Sequence
+    from cor_asv_ann_tpu.utils.data import lines_to_index_batch
+
+    s2s = Sequence2Sequence()
+    s2s.width, s2s.depth, s2s.batch_size = 16, 1, 4
+    s2s.window_width = 0
+    s2s.mapping, _ = s2s.mapping.grow(["abcdefgh .,\n"])
+    s2s.configure()
+    assert s2s.config.window_width == 0
+    s2s.params['char_embedding']['kernel'] = \
+        s2s.params['char_embedding']['kernel'] * 400.0
+    s2s.status = 2
+    long = ("abba dig. " * 15).strip() + "\n"      # T >= 128 bucket
+    assert len(long) >= 128
+    out, _, _, _ = s2s.correct_lines([long], fast=True, greedy=True)
+    enc = lines_to_index_batch(s2s.mapping, [long])
+    idx, _, length, _, _ = seq2seq.decode_greedy(
+        s2s.params, s2s.config, enc, s2s.mapping.get('\n'))
+    want = s2s._indexes2text(np.asarray(idx)[0, :int(np.asarray(length)[0])])
+    assert out[0] == want
+
+
 def test_api_windowed_switch_long_lines():
     """correct_lines auto-selects windowed-gather attention for long
     buckets (T >= 256); results equal the dense decoder's."""

@@ -15,6 +15,23 @@ def test_make_mesh_shapes():
     assert mesh.shape['data'] * mesh.shape['model'] == n
 
 
+def test_make_mesh_two_devices_prefers_data():
+    """This workload scales in lines: a 2-device mesh must be pure data
+    parallelism, not a collective-bound 1x2 tensor split."""
+    if len(jax.devices()) < 2:
+        pytest.skip('needs 2+ devices')
+    mesh = M.make_mesh(2)
+    assert mesh.shape['data'] == 2 and mesh.shape['model'] == 1
+
+
+def test_make_mesh_bad_data_axis():
+    n = len(jax.devices())
+    if n < 2:
+        pytest.skip('needs 2+ devices')
+    with pytest.raises(ValueError, match='does not divide'):
+        M.make_mesh(n, data_axis=n + 1)
+
+
 @pytest.mark.skipif(len(jax.devices()) < 8, reason='needs 8 devices')
 def test_dryrun_multichip_consistency(capsys):
     import __graft_entry__
