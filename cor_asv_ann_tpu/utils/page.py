@@ -135,7 +135,14 @@ class PageElement:
         e = self.elem.find(self._q(what))
         if e is None:
             e = ET.Element(self._q(what))
-            self.elem.insert(0, e)
+            if what == 'Baseline':
+                # the PAGE schema sequence puts Baseline AFTER Coords
+                coords = self.elem.find(self._q('Coords'))
+                pos = (list(self.elem).index(coords) + 1
+                       if coords is not None else 0)
+                self.elem.insert(pos, e)
+            else:
+                self.elem.insert(0, e)
         e.set('points', ' '.join('%d,%d' % (x, y) for x, y in points))
 
     # -- structure ----------------------------------------------------
@@ -274,6 +281,38 @@ class PageDoc:
         by_id = {r.id: r for r in regions}
         out = [by_id[i] for i in ordered_ids if i in by_id]
         out += [r for r in regions if r.id not in set(ordered_ids)]
+        return out
+
+    def reading_order_map(self):
+        """{regionRef: (ro_element_tag, index)} over all ReadingOrder
+        groups, recursively (reference transcode.py:
+        page_get_reading_order). `index` falls back to the position
+        inside the group for unindexed entries."""
+        out = {}
+        page = self.page
+        ro = None
+        for e in page.elem:
+            if _local(e.tag) == 'ReadingOrder':
+                ro = e
+                break
+        if ro is None:
+            return out
+
+        def walk(group):
+            for pos, e in enumerate(group):
+                tag = _local(e.tag)
+                if tag not in ('RegionRef', 'RegionRefIndexed',
+                               'OrderedGroup', 'OrderedGroupIndexed',
+                               'UnorderedGroup', 'UnorderedGroupIndexed'):
+                    continue
+                ref = e.get('regionRef')
+                idx = e.get('index')
+                idx = int(idx) if idx is not None else pos
+                if ref:
+                    out[ref] = (tag, idx)
+                if not tag.startswith('RegionRef'):
+                    walk(e)
+        walk(ro)
         return out
 
     def _collect_regions(self, elem, parent):

@@ -34,11 +34,15 @@ class WorkspaceFile:
 def index_page_files(files):
     """Filter a file list down to PAGE-XML files, keyed by page id
     (shared by Workspace and the METS-server client facade so the two
-    paths cannot diverge)."""
+    paths cannot diverge). Files without a resolvable path, and files
+    that are neither page-mimetyped nor .xml (e.g. images), are
+    skipped."""
     out = {}
     for f in files:
-        if f.mimetype and 'page' not in f.mimetype and \
-                not f.path.endswith('.xml'):
+        if not f.path:
+            continue
+        is_page = 'page' in f.mimetype if f.mimetype else False
+        if not is_page and not f.path.endswith('.xml'):
             continue
         out[f.page_id] = f
     return out
@@ -65,13 +69,16 @@ class Workspace:
         return [g.get('USE') for g in
                 self.mets.getroot().iter(_q('fileGrp'))]
 
-    def _page_of_file(self, file_id):
+    def _page_map(self):
+        """FILEID -> page div ID over the whole structMap (one pass;
+        per-file scans would be O(files x pages) on large workspaces)."""
+        pages = {}
         for div in self.mets.getroot().iter(_q('div')):
             if div.get('TYPE') == 'page':
+                pid = div.get('ID')
                 for fptr in div.findall(_q('fptr')):
-                    if fptr.get('FILEID') == file_id:
-                        return div.get('ID')
-        return None
+                    pages[fptr.get('FILEID')] = pid
+        return pages
 
     def files(self, group=None, page_id=None, mimetype=None):
         """All files, optionally filtered by fileGrp / page / mimetype."""
@@ -92,6 +99,7 @@ class Workspace:
                         '%s_%s' % (grp, stem), grp, stem,
                         os.path.join(gdir, name), 'application/vnd.prima.page+xml'))
             return out
+        pages = self._page_map()
         for grp_el in self.mets.getroot().iter(_q('fileGrp')):
             use = grp_el.get('USE')
             if group and use != group:
@@ -104,7 +112,7 @@ class Workspace:
                 flocat = f.find(_q('FLocat'))
                 href = flocat.get(_q('href', XLINK_NS)) if flocat is not None \
                     else None
-                pid = self._page_of_file(fid)
+                pid = pages.get(fid)
                 if page_id and pid != page_id:
                     continue
                 path = os.path.join(self.directory, href) if href else None
@@ -136,7 +144,13 @@ class Workspace:
         gdir = os.path.join(self.directory, group)
         os.makedirs(gdir, exist_ok=True)
         file_id = file_id or '%s_%s' % (group, page_id)
-        name = file_id + ext
+        # bare-directory mode derives page ids from file stems on read,
+        # so page files must be named by page id for ids to round-trip
+        # into chained fileGrps (document-level files keep the file_id)
+        if self.mets is None and page_id:
+            name = page_id + ext
+        else:
+            name = file_id + ext
         path = os.path.join(gdir, name)
         mode = 'wb' if isinstance(content, bytes) else 'w'
         with open(path, mode) as f:

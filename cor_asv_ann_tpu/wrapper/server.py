@@ -142,6 +142,11 @@ class ProcessorServer:
             self._thread.join(timeout=5)
 
 
+#: a *.json.claimed file older than this (seconds) is treated as a dead
+#: worker's orphan and released back into the queue for re-execution
+STALE_CLAIM_SECONDS = 900.0
+
+
 def run_worker(processor_cls, queue_dir, once=False, poll=0.2,
                timeout=None):
     """Consume job files from `queue_dir` until stopped.
@@ -149,6 +154,9 @@ def run_worker(processor_cls, queue_dir, once=False, poll=0.2,
     A job is any ``*.json`` file (excluding ``*.result.json``); it is
     claimed by renaming to ``*.json.claimed`` (atomic on one
     filesystem), executed, and answered with ``<job>.result.json``.
+    A claim whose worker died before writing the result would be lost
+    forever; claims older than ``STALE_CLAIM_SECONDS`` with no result
+    are therefore released back into the queue.
     `once` returns after the first executed job; `timeout` bounds the
     *idle* wait in seconds (the clock restarts after every executed
     job)."""
@@ -157,9 +165,22 @@ def run_worker(processor_cls, queue_dir, once=False, poll=0.2,
     while True:
         claimed = None
         for name in sorted(os.listdir(queue_dir)):
+            path = os.path.join(queue_dir, name)
+            if name.endswith('.json.claimed'):
+                base = path[:-len('.claimed')]
+                try:
+                    age = time.time() - os.path.getmtime(path)
+                except OSError:
+                    continue
+                if age > STALE_CLAIM_SECONDS and \
+                        not os.path.exists(base + '.result.json'):
+                    try:
+                        os.rename(path, base)   # release the orphan
+                    except OSError:
+                        pass
+                continue
             if not name.endswith('.json') or name.endswith('.result.json'):
                 continue
-            path = os.path.join(queue_dir, name)
             try:
                 os.rename(path, path + '.claimed')
             except OSError:

@@ -118,6 +118,14 @@ class ANNCorrection(PageProcessor):
             raise ParameterError('input fileGrp %r contains no page '
                                  'files' % input_grps[0])
         pages = page_ids or [p for p in workspace.page_ids() if p in files]
+        missing = [p for p in pages if p not in files]
+        if missing:
+            # explicitly requested pages absent from the input fileGrp:
+            # log and continue with the rest, like the base runner
+            for p in missing:
+                self.logger.error('page "%s" missing from fileGrp %s',
+                                  p, input_grps[0])
+            pages = [p for p in pages if p in files]
         docs = {pid: parse_page(files[pid].path) for pid in pages}
         # phase 1: collect line sequences over all pages
         all_inputs, all_starts, page_slices = [], [], {}
@@ -683,9 +691,22 @@ def page_update_higher_textequiv_levels(level, doc, overwrite=True):
                                   tgt[0].attr('regionRef')))
     if level == 'region':
         return
-    for region in doc.get_regions(order=False):
+    ro_map = doc.reading_order_map()
+    # children first: document order lists a parent region before its
+    # nested subregions, so reverse it — a parent's concatenation must
+    # read its children's freshly updated TextEquivs (the reference's
+    # "traverse in a depth-first strategy"; sibling order is irrelevant
+    # here because each region only reads its own descendants)
+    for region in reversed(doc.get_regions(order=False)):
         subregions = region.children('TextRegion')
         if subregions:
+            # concatenate in ReadingOrder when all subregions are listed
+            # there as an ordered group (reference transcode.py:666-677)
+            if all(s.id in ro_map for s in subregions) and \
+                    ro_map[subregions[0].id][0] in ('OrderedGroup',
+                                                    'OrderedGroupIndexed'):
+                subregions = sorted(subregions,
+                                    key=lambda s: ro_map[s.id][1])
             region_unicode = _first_unicode(subregions[0])
             for sub, nxt in zip(subregions, subregions[1:]):
                 if (sub.id, nxt.id) not in joins:

@@ -413,3 +413,68 @@ def test_execute_job_cache_lru(tmp_path):
     # the oldest parameter sets were evicted, the newest retained
     kept = [json.loads(k)['command'] for k in cache]
     assert all(int(c.rsplit('v', 1)[1]) >= 2 for c in kept)
+
+
+def test_bare_directory_page_ids_roundtrip(tmp_path):
+    """Bare-PAGE-XML mode (no mets.xml): output files must be named by
+    page id so chained processors see matching ids across fileGrps."""
+    import os
+    ws_dir = tmp_path / 'bare'
+    os.makedirs(ws_dir / 'OCR')
+    for pid in ('p1', 'p2'):
+        (ws_dir / 'OCR' / ('%s.xml' % pid)).write_bytes(
+            make_doc(TEXTS[pid]).to_bytes())
+    ws = Workspace(str(ws_dir))
+    assert sorted(ws.page_files('OCR')) == ['p1', 'p2']
+    script = spell_script(tmp_path)
+    MarkWords(parameter={'command': script}).process_workspace(
+        ws, ['OCR'], 'MARK')
+    reread = Workspace(str(ws_dir))
+    assert sorted(reread.page_files('MARK')) == ['p1', 'p2']
+    # a chained multi-fileGrp step finds matching pages
+    join = JoinLines(parameter={'add-filegrp-index': True})
+    join.process_workspace(reread, ['OCR', 'MARK'], 'JOIN')
+    assert sorted(Workspace(str(ws_dir)).page_files('JOIN')) == ['p1', 'p2']
+
+
+def test_worker_stale_claim_recovery(tmp_path, monkeypatch):
+    """A job claimed by a worker that died must be released back into
+    the queue after STALE_CLAIM_SECONDS instead of being lost."""
+    import json as J
+    import os
+    import time
+    from cor_asv_ann_tpu.wrapper import server as S
+
+    ws_dir = tmp_path / 'ws'
+    build_ws(ws_dir)
+    queue = tmp_path / 'q'
+    os.makedirs(queue)
+    job = {'workspace': str(ws_dir), 'input_file_grp': 'OCR',
+           'output_file_grp': 'MARK',
+           'parameter': {'command': spell_script(tmp_path)}}
+    path = queue / 'job1.json'
+    path.write_text(J.dumps(job))
+    # simulate a dead worker's orphaned claim, older than the threshold
+    os.rename(path, str(path) + '.claimed')
+    old = time.time() - 10
+    os.utime(str(path) + '.claimed', (old, old))
+    monkeypatch.setattr(S, 'STALE_CLAIM_SECONDS', 5.0)
+    run_worker(MarkWords, str(queue), once=True, timeout=5.0)
+    result = J.loads((queue / 'job1.json.result.json').read_text())
+    assert result.get('ok'), result
+
+
+def test_index_page_files_skips_non_pages(tmp_path):
+    from cor_asv_ann_tpu.utils.workspace import (WorkspaceFile,
+                                                 index_page_files)
+    files = [
+        WorkspaceFile('f1', 'OCR', 'p1', '/x/p1.xml', None),
+        WorkspaceFile('f2', 'IMG', 'p1', '/x/p1.jpg', 'image/jpeg'),
+        WorkspaceFile('f3', 'IMG', 'p2', None, 'image/jpeg'),
+        WorkspaceFile('f4', 'OCR', 'p2', '/x/p2.page',
+                      'application/vnd.prima.page+xml'),
+        WorkspaceFile('f5', 'BIN', 'p3', '/x/p3.bin', None),
+    ]
+    out = index_page_files(files)
+    assert sorted(out) == ['p1', 'p2']
+    assert out['p1'].id == 'f1' and out['p2'].id == 'f4'

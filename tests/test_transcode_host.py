@@ -199,3 +199,49 @@ def test_workspace_roundtrip(tmp_path):
     assert set(files) == {'page1', 'page2'}
     doc2 = P.parse_page(files['page1'].path)
     assert doc2.get_lines()[0].get_text() == 'Der Hund'
+
+
+def test_update_higher_levels_nested_regions():
+    """A parent region's text must concatenate its subregions' FRESH
+    texts (children-first traversal), sorted by ReadingOrder when the
+    subregions appear there as ordered groups."""
+    import xml.etree.ElementTree as ET
+    doc = P.new_page()
+    ns = doc.ns
+    ro = ET.SubElement(doc.page.elem, '{%s}ReadingOrder' % ns)
+    og = ET.SubElement(ro, '{%s}OrderedGroup' % ns)
+    og.set('id', 'g0')
+    for i, rid in enumerate(['ra', 'rb']):
+        # subregions registered as ordered groups (the recursive-region
+        # pattern the reference sorts by; plain RegionRefIndexed entries
+        # keep XML order there, faithfully)
+        sub_g = ET.SubElement(og, '{%s}OrderedGroupIndexed' % ns)
+        sub_g.set('index', str(i))
+        sub_g.set('id', 'g_' + rid)
+        sub_g.set('regionRef', rid)
+    parent = P.add_region(doc, 'rp')
+    # XML order rb, ra — ReadingOrder says ra first
+    for rid, text in (('rb', 'zwei'), ('ra', 'eins')):
+        e = ET.SubElement(parent.elem, '{%s}TextRegion' % ns)
+        e.set('id', rid)
+        sub = P.PageElement(e, doc, parent)
+        line = P.add_line(sub, rid + '_l1')
+        line.add_textequiv(text, conf=0.9)
+    TC.page_update_higher_textequiv_levels('line', doc)
+    by_id = {r.id: r for r in doc.get_regions(order=False)}
+    assert by_id['ra'].get_text() == 'eins'
+    assert by_id['rb'].get_text() == 'zwei'
+    # children-first: parent sees the fresh subregion texts, in
+    # ReadingOrder (ra before rb despite XML order)
+    assert by_id['rp'].get_text() == 'eins\nzwei'
+
+
+def test_baseline_after_coords():
+    """The PAGE schema sequence requires Coords before Baseline."""
+    doc = P.new_page()
+    region = P.add_region(doc, 'r1')
+    line = P.add_line(region, 'l1', points=[(0, 0), (10, 10)],
+                      baseline=[(0, 8), (10, 8)])
+    tags = [t.split('}')[-1] for t in
+            (e.tag for e in line.elem)]
+    assert tags.index('Coords') < tags.index('Baseline')
