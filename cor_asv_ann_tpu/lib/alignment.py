@@ -84,7 +84,7 @@ L2_HISTLAT_EQV = {
     '\ueba6': '\u017f\u017f', '\ueba7': '\u017f\u017fi',
     '\uf4ff': '\u017f\u017ft', '\uf52c': '\u017fp',
     '\ueec5': 'ct', '\ueecb': 'ft',
-    '\ue5d2': 'm\u0303', '\ue5dc': 'n\u0303', '\ue665': 'p\u0303',
+    '\ue5d2': 'm\u0303', '\ue5dc': '\u00f1', '\ue665': 'p\u0303',
     '\ue42c': 'a\u0364', '\ue644': 'o\u0364', '\ue72b': 'u\u0364',
     '\ue72d': '\u016f',
     '\uebac': '\u00df',
@@ -93,11 +93,28 @@ L2_HISTLAT_EQV = {
     '\uf159': '\u00f0', '\uf160': ':',
     'q\uf02f': 'q\u0365', 't\uf1cc': 't\u1dd1',
     '\uf4f9': 'll',
-    'a\u0304': 'a\u0303', 'e\u0304': 'e\u0303', 'i\u0304': 'i\u0303',
-    'o\u0304': 'o\u0303', 'u\u0304': 'u\u0303', 'c\u0304': 'c\u0303',
+    # precomposed macron keys exactly as the reference has them (NFC
+    # input produces these forms; decomposed keys would never match)
+    '\u0101': 'a\u0303', '\u0113': '\u1ebd', '\u012b': '\u0129',
+    '\u014d': '\u00f5', '\u016b': '\u0169', 'c\u0304': 'c\u0303',
     'q\u0304': 'q\u0303', 'r\u0304': 'r\u0303',
     '\uf50e': 'q\u0301',
 }
+
+
+_HISTLAT_L2_CACHE = None
+
+
+def _histlat_l2_tables():
+    """(str.maketrans table for single-char keys, tuple of multi-char
+    (key, value) pairs) over L2_HISTLAT_EQV, built once."""
+    global _HISTLAT_L2_CACHE
+    if _HISTLAT_L2_CACHE is None:
+        single = {k: v for k, v in L2_HISTLAT_EQV.items() if len(k) == 1}
+        multi = tuple((k, v) for k, v in L2_HISTLAT_EQV.items()
+                      if len(k) > 1)
+        _HISTLAT_L2_CACHE = (str.maketrans(single), multi)
+    return _HISTLAT_L2_CACHE
 
 
 class Confusion:
@@ -227,7 +244,13 @@ class Alignment:
         gap = self.gap_element
         for pos, pair in enumerate(pairs):
             if gap in pair:
-                continue  # merged into the following non-gap pair below
+                # merged into the following non-gap pair below; a
+                # TRAILING gap run has no such pair and is dropped —
+                # reference-faithful (its rationale "we always end with
+                # newline" holds for evaluate's line texts; compare.py
+                # strips newlines, where end-of-line edits then escape
+                # the confusion table there exactly as in the reference)
+                continue
             while pos and gap in pairs[pos - 1]:
                 pos -= 1
                 prev = pairs[pos]
@@ -287,19 +310,23 @@ class Alignment:
         strings (CER) and word lists (WER). The denominator is the
         alignment path length.
         """
+        # the L2 translate table and multi-char list depend only on
+        # gtlevel; build once per call, not once per word (WER with
+        # historic_latin normalizes every word of every line)
+        if normalization == 'historic_latin' and gtlevel < 3:
+            l2_table, l2_multi = _histlat_l2_tables()
+        else:
+            l2_table, l2_multi = {}, ()
+
         def normalize(seq):
             if isinstance(seq, list):
                 return [normalize(s) for s in seq]
             if normalization in ('NFC', 'NFKC'):
                 return unicodedata.normalize(normalization, seq)
             if normalization == 'historic_latin':
-                repl = L2_HISTLAT_EQV if gtlevel < 3 else {}
-                single = {k: v for k, v in repl.items() if len(k) == 1}
-                table = str.maketrans(single)
-                for key, val in repl.items():
-                    if len(key) > 1:
-                        seq = seq.replace(key, val)
-                return seq.translate(table)
+                for key, val in l2_multi:
+                    seq = seq.replace(key, val)
+                return seq.translate(l2_table)
             return seq
 
         if normalization == 'historic_latin' and gtlevel == 1:

@@ -26,14 +26,21 @@ def get_lines(fname, flist=False):
     file (list), or a file list (dict by base name)."""
     with open(fname, 'r', encoding='utf-8') as fd:
         rawlines = [line.rstrip('\r\n') for line in fd.readlines()]
-    if rawlines and rawlines[0].lstrip().startswith('<?xml'):
+    first = rawlines[0].lstrip() if rawlines else ''
+    # PAGE-XML may legally omit the <?xml?> declaration; detect any
+    # XML-looking file and surface parse failures instead of silently
+    # comparing raw markup lines as text
+    if first.startswith('<'):
+        from ..utils.page import parse_page
+        from ..wrapper.evaluate import page_get_lines
         try:
-            from ..utils.page import parse_page
-            from ..wrapper.evaluate import page_get_lines
             doc = parse_page(fname)
+        except Exception as err:
+            logging.getLogger('cor-asv-ann-compare').warning(
+                '%s looks like XML but does not parse as PAGE (%s); '
+                'treating it as plain text', fname, err)
+        else:
             return page_get_lines(doc, 'id')
-        except Exception:
-            pass
     if not flist:
         return rawlines
     # ocropy convention: each entry is the path of a single-line file
@@ -217,7 +224,10 @@ def cli(output_file, normalization, gt_level, confusion, histogram,
         report[ocr_file + ',' + gt_file] = stats.summary(
             confusion, histogram)
 
-    output = sys.stdout if output_file == '-' else open(output_file, 'w')
+    # explicit utf-8: the report holds historic-Latin text and
+    # ensure_ascii=False would crash under a non-UTF-8 locale otherwise
+    output = sys.stdout if output_file == '-' \
+        else open(output_file, 'w', encoding='utf-8')
     json.dump(report, output, indent=2, ensure_ascii=False)
     if output is not sys.stdout:
         output.close()

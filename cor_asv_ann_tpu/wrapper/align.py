@@ -42,6 +42,8 @@ def page_get_line_sequences(doc, logger=None):
                                    line.id)
                 continue
             line_str = line_equivs[0].unicode or ''
+            # `or` treats an explicit conf of 0 as absent — kept as-is
+            # for parity (the reference uses the same idiom, align.py:292)
             line_conf0 = float(line_equivs[0].conf or 1.0)
             line_confs = []
             words = line.get_words()
@@ -92,10 +94,14 @@ class _Lattice:
         self.row_confs = []  # [confidence per input] per position
 
     def seed(self, idx, text, confs):
-        """Initialize one row per character of the first input."""
+        """Initialize one row per character of the first input.
+
+        Slots of the not-yet-woven inputs start as gaps with confidence
+        0 (the reference's avg([]) for an empty chunk) — a gap must
+        never outvote a real character in confidence voting."""
         for char, conf in zip(text, confs):
             row = [''] * self.num_inputs
-            row_conf = [1.0] * self.num_inputs
+            row_conf = [0.0] * self.num_inputs
             row[idx] = char
             row_conf[idx] = conf
             self.rows.append(row)
@@ -142,8 +148,10 @@ class _Lattice:
                 del alignment[entry + 1]
             else:
                 self.rows[row][idx] = new_chunk
+                # an empty chunk (gap) scores 0, like the reference's
+                # avg([]) — not 1.0, which would outvote real characters
                 self.row_confs[row][idx] = (avg(confs[src_from:src_to])
-                                            if src_to > src_from else 1.0)
+                                            if src_to > src_from else 0.0)
                 src_from = src_to
                 row += 1
                 entry += 1

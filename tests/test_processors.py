@@ -150,3 +150,38 @@ def test_mark_words_conf_format(ws3, tmp_path):
     doc = P.parse_page(ws3.page_files('MARK2')['p1'].path)
     word = doc.get_lines()[0].get_words()[0]
     assert abs(word.get_textequivs()[0].conf - 0.123) < 1e-9
+
+
+def test_align_confidence_gap_does_not_outvote():
+    """An alignment gap (empty chunk) must score confidence 0, like the
+    reference's avg([]) — never 1.0, which would delete real characters
+    under confidence voting."""
+    from cor_asv_ann_tpu.lib.alignment import Alignment
+    from cor_asv_ann_tpu.wrapper.align import nway_align, vote
+    aligner = Alignment()
+    chars, confs = nway_align(['cat', 'ct'], [[0.9] * 3, [0.9] * 2],
+                              aligner)
+    text, conf = vote(chars, confs, 'confidence')
+    assert text == 'cat'
+    # and the seeded first input's gap slots are 0 too
+    for subchars, subconfs in zip(chars, confs):
+        for c, p in zip(subchars, subconfs):
+            if c == '':
+                assert p == 0.0
+
+
+def test_histlat_l2_precomposed_macrons():
+    """The L2 table must key precomposed macron vowels (what NFC input
+    contains) with the reference's exact value forms (decomposed
+    a+tilde; precomposed n-tilde)."""
+    from cor_asv_ann_tpu.lib.alignment import Alignment, L2_HISTLAT_EQV
+    assert L2_HISTLAT_EQV['\u0101'] == 'a\u0303'
+    assert L2_HISTLAT_EQV['\u0113'] == '\u1ebd'
+    assert L2_HISTLAT_EQV['\ue5dc'] == '\u00f1'
+    aligner = Alignment()
+    dist, _ = aligner.get_adjusted_distance(
+        '\u0101', 'a\u0303', normalization='historic_latin', gtlevel=2)
+    assert dist == 0
+    dist, _ = aligner.get_adjusted_distance(
+        '\ue5dc', '\u00f1', normalization='historic_latin', gtlevel=2)
+    assert dist == 0
