@@ -3,9 +3,12 @@
 // The reference relies on external C++ for its hot host-side string math
 // (rapidfuzz's Levenshtein, SURVEY.md 2.9); this library provides the
 // equivalent first-party kernels for this framework:
-//  - lev_distance: unweighted codepoint Levenshtein (two-row DP),
+//  - lev_distance: unweighted codepoint Levenshtein (two-row DP) — the
+//    fallback backend of Alignment.get_levenshtein_distance when
+//    rapidfuzz is not installed (lib/alignment.py),
 //  - nw_align: Needleman-Wunsch alignment emitting a per-symbol pair path
-//    with explicit gaps (-1), the native backend for Alignment,
+//    with explicit gaps (-1) — an optional exact aligner (Alignment's
+//    production path uses difflib for reference parity),
 //  - lev_distance_batch: batched distances for evaluation sweeps.
 //
 // Build: make -C cor_asv_ann_tpu/native  (produces libeditops.so)
@@ -56,9 +59,13 @@ void lev_distance_batch(const uint32_t* a, const int* a_off,
 int nw_align(const uint32_t* a, int na, const uint32_t* b, int nb,
              int* out_src, int* out_tgt, int max_steps) {
     if (na + nb > max_steps) return -1;
-    // full DP matrix of distances (na+1) x (nb+1)
-    std::vector<int> dp((na + 1) * (nb + 1));
-    auto at = [&](int i, int j) -> int& { return dp[i * (nb + 1) + j]; };
+    // full DP matrix of distances (na+1) x (nb+1); size_t arithmetic —
+    // int (na+1)*(nb+1) overflows (UB) already at ~46k x 46k codepoints
+    const std::size_t stride = static_cast<std::size_t>(nb) + 1;
+    std::vector<int> dp((static_cast<std::size_t>(na) + 1) * stride);
+    auto at = [&](int i, int j) -> int& {
+        return dp[static_cast<std::size_t>(i) * stride + j];
+    };
     for (int i = 0; i <= na; ++i) at(i, 0) = i;
     for (int j = 0; j <= nb; ++j) at(0, j) = j;
     for (int i = 1; i <= na; ++i) {

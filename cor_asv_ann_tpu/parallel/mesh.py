@@ -26,7 +26,17 @@ def make_mesh(n_devices=None, data_axis=None):
     docstring) except at 4+ even devices, where a 2-way model axis is
     carved out for width-512+ tensor parallelism.
     """
-    devices = jax.devices()[:n_devices] if n_devices else jax.devices()
+    available = jax.devices()
+    if n_devices:
+        if n_devices < 0 or n_devices > len(available):
+            # silently truncating would let a user believe they run on
+            # more chips than exist (pass None/0 for "all devices")
+            raise ValueError(
+                'requested %d mesh devices but %d are available'
+                % (n_devices, len(available)))
+        devices = available[:n_devices]
+    else:
+        devices = available
     n = len(devices)
     if data_axis is None:
         model = 2 if n % 2 == 0 and n >= 4 else 1

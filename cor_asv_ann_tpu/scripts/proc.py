@@ -86,31 +86,39 @@ def cli(load_model, fast, rejection, charmap, old_suffix, new_suffix, data, prof
     lastname = ''
     done = []
     logging.info('running on %d files', len(data))
-    with maybe_profile(profile, profile_file, jax_trace,
-                       logger=logging.getLogger(__name__)):
-        for filenames, lines, scores in s2s.predict(list(data), fast=fast,
-                                                    greedy=fast,
-                                                    charmap=charmap):
-            for filename, line in zip(filenames, lines):
-                if lastname != filename:
-                    if outfile and not outfile.closed:
-                        done.append(lastname)
-                        outfile.close()
-                    if not filename:
-                        logging.info('done with %d files', len(done))
-                        break
-                    lastname = filename
-                    if old_suffix and old_suffix in filename:
-                        basename = filename.replace(old_suffix, '')
-                    else:
-                        basename, ext = os.path.splitext(filename)
-                    logging.info('writing to output file %r',
-                                 basename + new_suffix)
-                    outfile = open(basename + new_suffix, 'w',
-                                   encoding='utf-8')
-                outfile.write(line)
-    if outfile and not outfile.closed:
-        outfile.close()
+    try:
+        with maybe_profile(profile, profile_file, jax_trace,
+                           logger=logging.getLogger(__name__)):
+            for filenames, lines, scores in s2s.predict(list(data),
+                                                        fast=fast,
+                                                        greedy=fast,
+                                                        charmap=charmap):
+                for filename, line in zip(filenames, lines):
+                    if lastname != filename:
+                        if outfile and not outfile.closed:
+                            done.append(lastname)
+                            outfile.close()
+                        if not filename:
+                            logging.info('done with %d files', len(done))
+                            break
+                        lastname = filename
+                        # strip the suffix only at the END of the name
+                        # (the reference's replace-all corrupts paths
+                        # whose directories contain the suffix too)
+                        if old_suffix and filename.endswith(old_suffix):
+                            basename = filename[:-len(old_suffix)]
+                        else:
+                            basename, ext = os.path.splitext(filename)
+                        logging.info('writing to output file %r',
+                                     basename + new_suffix)
+                        outfile = open(basename + new_suffix, 'w',
+                                       encoding='utf-8')
+                    outfile.write(line)
+    finally:
+        # flush the current file even when a mid-run decode/IO error
+        # aborts the loop — its already-corrected lines are kept
+        if outfile and not outfile.closed:
+            outfile.close()
 
 
 if __name__ == '__main__':

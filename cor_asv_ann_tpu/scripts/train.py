@@ -87,6 +87,7 @@ def cli(save_model, load_model, init_model, reset_encoder, resume, width,
     s2s.configure()
 
     if load_model:
+        prev_mapping = s2s.mapping
         s2s.load_config(load_model)
         if s2s.width == width and s2s.depth == depth:
             logging.info('loading weights from existing model for '
@@ -97,6 +98,14 @@ def cli(save_model, load_model, init_model, reset_encoder, resume, width,
             logging.warning('ignoring existing model due to different '
                             'topology (width=%d, depth=%d)',
                             s2s.width, s2s.depth)
+            # roll back load_config's side effects: train from scratch
+            # at the topology the CLI asked for (leaving the loaded
+            # width/depth/mapping in place would silently discard -w/-d
+            # and desync the mapping from the configured voc_size)
+            s2s.width, s2s.depth = width, depth
+            s2s.mapping = prev_mapping
+            s2s.status = 0
+            s2s.configure()
     if init_model:
         s2s.configure()
         s2s.load_transfer_weights(init_model)

@@ -9,6 +9,7 @@ step, so the accelerator never waits for one-hot encoding or file I/O.
 
 import queue
 import threading
+import time
 
 _SENTINEL = object()
 
@@ -28,6 +29,8 @@ class Prefetcher:
         def worker():
             try:
                 for item in iterator:
+                    if self._closed:
+                        return
                     self._queue.put(item)
                     if self._closed:
                         return
@@ -43,6 +46,10 @@ class Prefetcher:
         return self
 
     def __next__(self):
+        if getattr(self, '_done', False):
+            # iterator protocol: keep raising after exhaustion (the
+            # worker is gone, a blocking get() would never return)
+            raise StopIteration
         item = self._queue.get()
         if item is _SENTINEL:
             self._done = True
@@ -51,17 +58,28 @@ class Prefetcher:
             raise StopIteration
         return item
 
-    def close(self):
-        """Release the worker thread after an early consumer exit."""
+    def close(self, timeout=5.0):
+        """Release the worker thread after an early consumer exit.
+
+        Bounded: if the worker is stuck *producing* (e.g. a wedged
+        device transfer inside the wrapped generator), the daemon
+        thread is abandoned after `timeout` rather than hanging the
+        caller's shutdown path."""
         if getattr(self, '_done', False):
             return  # iteration already finished; sentinel consumed
         self._closed = True
-        while True:  # drain until the worker posts the sentinel
-            item = self._queue.get()
+        deadline = time.monotonic() + timeout
+        while time.monotonic() < deadline:
+            try:
+                item = self._queue.get(timeout=0.1)
+            except queue.Empty:
+                if not self._thread.is_alive():
+                    break
+                continue
             if item is _SENTINEL:
                 break
         self._done = True
-        self._thread.join(timeout=5)
+        self._thread.join(timeout=max(0.0, deadline - time.monotonic()))
 
     def __enter__(self):
         return self

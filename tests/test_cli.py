@@ -171,6 +171,38 @@ def test_prefetcher_early_close():
     assert threading.active_count() <= before
 
 
+def test_prefetcher_stopiteration_after_exhaustion():
+    """The iterator protocol must keep raising StopIteration after
+    exhaustion instead of blocking on the dead worker's empty queue."""
+    from cor_asv_ann_tpu.utils.prefetch import prefetch
+    it = prefetch(iter(range(3)))
+    assert list(it) == [0, 1, 2]
+    with pytest.raises(StopIteration):
+        next(it)
+    assert list(it) == []
+
+
+def test_prefetcher_close_bounded_on_stuck_producer():
+    """close() must return within its timeout even when the wrapped
+    generator is blocked producing (e.g. a wedged device transfer)."""
+    import threading
+    import time
+    from cor_asv_ann_tpu.utils.prefetch import prefetch
+    release = threading.Event()
+
+    def stuck():
+        yield 1
+        release.wait(30)   # simulates a hung to_device()
+        yield 2
+
+    it = prefetch(stuck(), depth=1)
+    assert next(it) == 1
+    t0 = time.monotonic()
+    it.close(timeout=0.5)
+    assert time.monotonic() - t0 < 5.0
+    release.set()   # let the daemon thread die
+
+
 def test_echo_line_formats():
     from cor_asv_ann_tpu.models.api import Sequence2Sequence
     echo = Sequence2Sequence._echo_line
