@@ -133,6 +133,11 @@ class MetsServer:
             self._server.serve_forever(poll_interval=0.05)
         finally:
             self._server.server_close()
+            # server_close joins the handler threads: a writer that
+            # acquired the dispatch lock AFTER the 'stop' handler's
+            # save was acknowledged with success — persist its work
+            with self._lock:
+                self.workspace.save()
             if self.family == socket.AF_UNIX and \
                     os.path.exists(self.address):
                 os.unlink(self.address)
@@ -201,14 +206,20 @@ def _call(family, address, method, timeout=None, **params):
 
 class MetsClientWorkspace:
     """Workspace facade backed by a MetsServer (same duck type as
-    utils.workspace.Workspace, so PageProcessor runs unchanged)."""
+    utils.workspace.Workspace, so PageProcessor runs unchanged).
 
-    def __init__(self, address, directory=None):
+    `timeout` overrides the per-request CALL_TIMEOUT for this client —
+    the public way to allow legitimately long requests (huge workspace
+    save, big add_file payloads over slow links)."""
+
+    def __init__(self, address, directory=None, timeout=None):
         self.family, self.address = parse_address(address)
         self.directory = directory
+        self.timeout = timeout
 
     def _call(self, method, **params):
-        return _call(self.family, self.address, method, **params)
+        return _call(self.family, self.address, method,
+                     timeout=self.timeout, **params)
 
     def file_groups(self):
         return self._call('file_groups')

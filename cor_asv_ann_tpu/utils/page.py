@@ -197,7 +197,13 @@ class TextEquiv:
 
     @conf.setter
     def conf(self, value):
-        self.elem.set('conf', '%.6g' % float(value))
+        if value is None:
+            # symmetric with the getter (and the comments setter):
+            # restoring a captured pre-mark conf of None removes the
+            # attribute instead of crashing on float(None)
+            self.elem.attrib.pop('conf', None)
+        else:
+            self.elem.set('conf', '%.6g' % float(value))
 
     @property
     def index(self):

@@ -85,12 +85,24 @@ class EvaluateLines(PageProcessor):
     }
 
     def verify(self, input_grps):
+        from .base import ParameterError
         if self.parameter['match_on'] == 'index':
-            assert len(input_grps) == 1, \
-                'only 1 input fileGrp when match_on==index'
-        else:
-            assert len(input_grps) > 1, \
-                'need multiple input fileGrps to compare when match_on!=index'
+            if len(input_grps) != 1:
+                raise ParameterError(
+                    'only 1 input fileGrp when match_on==index')
+        elif len(input_grps) < 2:
+            raise ParameterError(
+                'need multiple input fileGrps to compare when '
+                'match_on!=index')
+        if self.parameter['confusion'] and \
+                self.parameter['metric'] == 'Levenshtein-fast':
+            # the fast metric never feeds the confusion aligners; a
+            # silently empty table over thousands of lines is worse
+            # than an upfront error
+            raise ParameterError(
+                'confusion > 0 requires a full alignment metric '
+                '(Levenshtein/NFC/NFKC/historic_latin), not '
+                'Levenshtein-fast')
 
     def _pair(self, i):
         if self.parameter['match_on'] == 'index':
@@ -170,6 +182,14 @@ class EvaluateLines(PageProcessor):
                 file_wedits.append(Edits(self.logger))
             self._grow_stats(len(file_lines))
         else:
+            for i, doc in enumerate(docs):
+                if doc is None and i > 0:
+                    # a page entirely missing from a non-GT fileGrp
+                    # shrinks that column's aggregate silently otherwise
+                    self.logger.error(
+                        'page "%s" entirely missing from input %d (%s); '
+                        'its lines are skipped for that pair', page_id,
+                        i, self._name(i))
             file_lines = [page_get_lines(doc, match, self.logger)
                           if doc is not None else {} for doc in docs]
         report = dict()

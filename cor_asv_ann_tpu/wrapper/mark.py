@@ -31,12 +31,19 @@ class SpellLookup:
         return ''.join(char for char in token
                        if unicodedata.category(char)[0] in 'LM')
 
-    def unknown(self, word):
-        """(lookup_failed_or_unknown, returncode, stderr) for `word`."""
-        proc = subprocess.run(self.command, input=word + '\n',
+    def unknown_batch(self, words):
+        """(set of unknown words, returncode, stderr) for all `words` in
+        ONE lookup invocation (hunspell ``-w -L`` style: unknown words
+        are echoed back one per line). Spawning the command per word
+        reloads its dictionary thousands of times per page."""
+        words = [w for w in words if w]
+        if not words:
+            return set(), 0, ''
+        proc = subprocess.run(self.command,
+                              input='\n'.join(words) + '\n',
                               encoding='utf-8', shell=True,
                               capture_output=True, text=True)
-        return bool(proc.stdout.rstrip('\n')), proc.returncode, proc.stderr
+        return set(proc.stdout.split()), proc.returncode, proc.stderr
 
 
 class MarkWords(PageProcessor):
@@ -84,16 +91,10 @@ class MarkWords(PageProcessor):
         doc = docs[0]
         lookup = SpellLookup(self.parameter['command'],
                              self.parameter['normalization'])
-        candidates = 0
-        nonmatches = 0
-        # pending dehyphenation candidate: (revert_fn, text minus the
-        # hyphen) of the most recent line-final hyphen-terminated word.
-        # NOTE: faithfully kept from the reference (mark.py:107-124),
-        # including its quirk — the pending entry is only consulted and
-        # cleared when a MARKABLE word is processed, so a skipped
-        # (letterless/empty) line start leaves it live for a later line.
-        pending = None
-
+        # phase 1: gather the page's lookup candidates (per-word flags
+        # mirror the reference loop: consult/clear positions depend on
+        # the word being the line's literal first/last element)
+        entries = []
         for line in doc.get_lines():
             words = line.get_words()
             for word in words:
@@ -110,30 +111,68 @@ class MarkWords(PageProcessor):
                 stripped = lookup.letters(text)
                 if not stripped:
                     continue
-                is_unknown, status, err = lookup.unknown(stripped)
-                candidates += 1
-                if status != 0:
-                    self.logger.error('Word "%s" lookup failed (%d): %s',
-                                      stripped, status, err)
+                entries.append((word is words[0], word is words[-1],
+                                text, stripped, equivs[0]))
+        candidates = len(entries)
+
+        # phase 2: resolve every word in ONE lookup invocation
+        unknown_set, status, err = lookup.unknown_batch(
+            sorted({e[3] for e in entries}))
+        if status != 0:
+            self.logger.error('word lookup failed (%d): %s', status, err)
+            unknown_set = set()  # like the per-word failure: mark nothing
+
+        # phase 3: walk the reference's marking logic on the resolved
+        # sets. Pending dehyphenation candidate: (revert_fn, text minus
+        # the hyphen) of the most recent line-final hyphen-terminated
+        # word. NOTE: faithfully kept from the reference
+        # (mark.py:107-124), including its quirk — the pending entry is
+        # only consulted and cleared when a MARKABLE UNKNOWN word is
+        # processed, so it survives skipped (letterless/empty) line
+        # starts, known first words and lines without unknown words,
+        # and may join with a first word several lines later.
+        # Which joins get attempted depends only on the word-unknown
+        # set (pending clears after every consult either way), so the
+        # join queries can be collected in a dry walk and resolved in a
+        # second batched invocation before the marking walk.
+        def walk(joined_known, apply):
+            pending = None
+            queries = []
+            nonmatches = 0
+            for is_first, is_last, text, stripped, equiv in entries:
+                if stripped not in unknown_set:
                     continue
-                if not is_unknown:
-                    continue
-                if pending and word is words[0]:
+                if pending and is_first:
                     # unknown word opening a line after a hyphenated
                     # line end: retry the joined form
                     revert, head = pending
-                    joined_unknown, status, _ = lookup.unknown(
-                        lookup.letters(head + text))
-                    if status == 0 and not joined_unknown:
-                        revert()
+                    joined = lookup.letters(head + text)
+                    queries.append(joined)
+                    if joined_known(joined):
+                        if apply:
+                            revert()
                         pending = None
                         nonmatches -= 1
                         continue
                 pending = None
-                if word is words[-1] and text.endswith(HYPHENS):
-                    pending = self._unmark_closure(equivs[0]), text[:-1]
+                if is_last and text.endswith(HYPHENS):
+                    pending = self._unmark_closure(equiv), text[:-1]
                 nonmatches += 1
-                self._mark(equivs[0])
+                if apply:
+                    self._mark(equiv)
+            return queries, nonmatches
+
+        queries, _ = walk(lambda q: False, apply=False)
+        joined_unknown = set()
+        if queries:
+            joined_unknown, jstatus, jerr = lookup.unknown_batch(
+                sorted(set(queries)))
+            if jstatus != 0:
+                self.logger.error('join lookup failed (%d): %s',
+                                  jstatus, jerr)
+                joined_unknown = set(queries)  # failure = no revert
+        _, nonmatches = walk(lambda q: q not in joined_unknown,
+                             apply=True)
         self.logger.info(
             'marked %d unmatched words out of %d tokens (%d%%) on %s',
             nonmatches, candidates,

@@ -72,9 +72,18 @@ def test_evaluate(ws3):
 
 
 def test_evaluate_requires_multiple_groups(ws3):
+    from cor_asv_ann_tpu.wrapper.base import ParameterError
     proc = EvaluateLines(parameter={'match_on': 'id'})
-    with pytest.raises(AssertionError):
+    with pytest.raises(ParameterError, match='multiple input fileGrps'):
         proc.process_workspace(ws3, ['GT'], 'EVAL2')
+    proc = EvaluateLines(parameter={'match_on': 'index'})
+    with pytest.raises(ParameterError, match='only 1 input fileGrp'):
+        proc.process_workspace(ws3, ['GT', 'OCR1'], 'EVAL2')
+    # the fast metric never feeds the confusion aligners: reject upfront
+    proc = EvaluateLines(parameter={'match_on': 'id', 'confusion': 5,
+                                    'metric': 'Levenshtein-fast'})
+    with pytest.raises(ParameterError, match='full alignment metric'):
+        proc.process_workspace(ws3, ['GT', 'OCR1'], 'EVAL2')
 
 
 def test_join_and_evaluate_index(ws3):
@@ -150,6 +159,90 @@ def test_mark_words_conf_format(ws3, tmp_path):
     doc = P.parse_page(ws3.page_files('MARK2')['p1'].path)
     word = doc.get_lines()[0].get_words()[0]
     assert abs(word.get_textequivs()[0].conf - 0.123) < 1e-9
+
+
+@pytest.fixture
+def spell_script(tmp_path):
+    """Toy hunspell ``-w``-alike: echoes every word NOT in its
+    dictionary back, one per line (the documented command contract)."""
+    script = tmp_path / 'spell.sh'
+    script.write_text(
+        '#!/bin/sh\nwhile read w; do\n'
+        'case "$w" in Der|Hund|liegt|Garten|Weihnacht) ;; *) echo "$w";; '
+        'esac\ndone\n')
+    script.chmod(0o755)
+    return script
+
+
+def mark_workspace(tmp_path, line_texts, conf=0.9):
+    ws = make_workspace(str(tmp_path / 'wsm'), ['p1'])
+    ws.add_file('OCR', 'p1', make_doc(line_texts, conf=conf).to_bytes())
+    ws.save()
+    return ws
+
+
+def page_marks(ws, grp):
+    doc = P.parse_page(ws.page_files(grp)['p1'].path)
+    return {w.get_text(): w.get_textequivs()[0].comments
+            for line in doc.get_lines() for w in line.get_words()}
+
+
+def test_mark_dehyphenation_revert(tmp_path, spell_script):
+    """A hyphenated line-final unknown whose join with the next line's
+    first word IS known gets its mark reverted, and the continuation
+    word stays unmarked (reference mark.py:107-124)."""
+    ws = mark_workspace(tmp_path, ['Der Gar-', 'ten liegt'])
+    proc = MarkWords(parameter={'command': str(spell_script),
+                                'format': 'OOV'})
+    proc.process_workspace(ws, ['OCR'], 'MARK')
+    marks = page_marks(ws, 'MARK')
+    assert marks == {'Der': None, 'Gar-': None, 'ten': None, 'liegt': None}
+    assert proc.total_nonmatches == 0
+
+
+def test_mark_dehyphenation_join_unknown_keeps_marks(tmp_path,
+                                                     spell_script):
+    """When the joined form is ALSO unknown, both halves stay marked."""
+    ws = mark_workspace(tmp_path, ['Der xyz-', 'abc liegt'])
+    proc = MarkWords(parameter={'command': str(spell_script),
+                                'format': 'OOV'})
+    proc.process_workspace(ws, ['OCR'], 'MARK')
+    marks = page_marks(ws, 'MARK')
+    assert marks['xyz-'] == 'OOV'
+    assert marks['abc'] == 'OOV'
+    assert proc.total_nonmatches == 2
+
+
+def test_mark_dehyphenation_pending_survives_known_lines(tmp_path,
+                                                         spell_script):
+    """The reference quirk, faithfully kept: the pending hyphen
+    candidate is only consulted/cleared by a markable UNKNOWN word, so
+    it survives an intermediate all-known line and may join with a
+    first word several lines later (reference mark.py:107-124)."""
+    ws = mark_workspace(tmp_path, ['Weih-', 'Der Hund', 'nacht liegt'])
+    proc = MarkWords(parameter={'command': str(spell_script),
+                                'format': 'OOV'})
+    proc.process_workspace(ws, ['OCR'], 'MARK')
+    marks = page_marks(ws, 'MARK')
+    assert marks == {'Weih-': None, 'Der': None, 'Hund': None,
+                     'nacht': None, 'liegt': None}
+    assert proc.total_nonmatches == 0
+
+
+def test_mark_dehyphenation_conf_revert_removes_attribute(tmp_path,
+                                                          spell_script):
+    """format=conf marking sets conf=0.123; a join revert on a word
+    that never had @conf must REMOVE the attribute (restore None), not
+    crash on float(None)."""
+    ws = mark_workspace(tmp_path, ['Der Gar-', 'ten liegt'], conf=None)
+    proc = MarkWords(parameter={'command': str(spell_script),
+                                'format': 'conf'})
+    proc.process_workspace(ws, ['OCR'], 'MARK')
+    doc = P.parse_page(ws.page_files('MARK')['p1'].path)
+    confs = {w.get_text(): w.get_textequivs()[0].conf
+             for line in doc.get_lines() for w in line.get_words()}
+    assert confs == {'Der': None, 'Gar-': None, 'ten': None,
+                     'liegt': None}
 
 
 def test_align_confidence_gap_does_not_outvote():
