@@ -52,8 +52,17 @@ def parse_address(address):
 
 
 class _Handler(socketserver.StreamRequestHandler):
+    # a connected-but-silent client must not pin a (non-daemon) handler
+    # thread in readline() forever — that would wedge server_close and
+    # block interpreter exit; StreamRequestHandler.setup applies this
+    # as a socket timeout
+    timeout = 120.0
+
     def handle(self):
-        line = self.rfile.readline()
+        try:
+            line = self.rfile.readline()
+        except OSError:     # includes socket.timeout: drop the client
+            return
         if not line:
             return
         try:
@@ -85,6 +94,10 @@ class MetsServer:
                         socketserver.TCPServer),
                        {'allow_reuse_address': True})
         self._server = cls(self.address, _Handler)
+        if self.family != socket.AF_UNIX:
+            # read back the ACTUAL bound address: 'host:0' asks the OS
+            # for an ephemeral port, which clients must learn from here
+            self.address = self._server.server_address[:2]
         self._server.dispatch = self.dispatch
         self._thread = None
 
@@ -263,8 +276,11 @@ def main(argv=None):
                         help='unix socket path or host:port')
     args = parser.parse_args(argv)
     server = MetsServer(args.directory, args.address)
+    address = server.address
+    if isinstance(address, tuple):
+        address = '%s:%d' % address[:2]
     print('METS server for %s listening on %s' %
-          (args.directory, args.address), flush=True)
+          (args.directory, address), flush=True)
     try:
         server.serve_forever()
     except KeyboardInterrupt:

@@ -24,6 +24,7 @@ parsing.
 """
 
 import importlib
+import os
 
 
 def available():
@@ -53,6 +54,25 @@ def make_processor_class(page_processor_cls, ocrd_module=None,
     ocrd_page = page_module or importlib.import_module(
         'ocrd_models.ocrd_page')
 
+    class _WorkspaceShim:
+        """Maps the slice of the first-party Workspace duck type that
+        document-level flushers use (add_file, evaluate.py end_document)
+        onto an OCR-D core Workspace (v3 keyword signature)."""
+
+        def __init__(self, ocrd_workspace):
+            self._ws = ocrd_workspace
+
+        def add_file(self, group, page_id, content, file_id=None,
+                     mimetype='application/vnd.prima.page+xml',
+                     ext='.xml'):
+            if isinstance(content, str):
+                content = content.encode('utf-8')
+            file_id = file_id or '%s_%s' % (group, page_id or 'doc')
+            return self._ws.add_file(
+                group, file_id=file_id, page_id=page_id,
+                mimetype=mimetype, content=content,
+                local_filename=os.path.join(group, file_id + ext))
+
     class BridgedProcessor(ocrd.Processor):
         @property
         def executable(self):
@@ -77,6 +97,7 @@ def make_processor_class(page_processor_cls, ocrd_module=None,
             if len(grps) != n_inputs:
                 grps = (grps + ['input-%d' % i for i in range(n_inputs)]
                         )[:n_inputs]
+            self._doc_grps = grps
             self._inner.start_document(
                 None, grps, getattr(self, 'output_file_grp', None))
             self._document_started = True
@@ -86,6 +107,14 @@ def make_processor_class(page_processor_cls, ocrd_module=None,
                     if pcgts is not None else None
                     for pcgts in input_pcgts]
             self._start_document_once(len(docs))
+            if docs[0] is None:
+                # the standalone runner's docs[0] guard (base.py): the
+                # primary fileGrp must have the page; raise a clear
+                # error for core to log instead of crashing the inner
+                # processor on a None document
+                raise ValueError(
+                    'page %r missing from the primary input fileGrp'
+                    % (page_id,))
             result = self._inner.process_page(docs, page_id)
             if result is None:
                 result = docs[0]
@@ -94,9 +123,18 @@ def make_processor_class(page_processor_cls, ocrd_module=None,
 
         def shutdown(self):
             # flush document-level aggregation (e.g. EvaluateLines'
-            # summary report) when core tears the processor down
+            # summary report) when core tears the processor down;
+            # route the report file into core's own workspace when one
+            # is attached (self.workspace during core processing)
             if getattr(self, '_document_started', False):
-                self._inner.end_document(None, None, None)
+                workspace = getattr(self, 'workspace', None)
+                output_grp = getattr(self, 'output_file_grp', None)
+                if workspace is not None and output_grp:
+                    self._inner.end_document(
+                        _WorkspaceShim(workspace),
+                        getattr(self, '_doc_grps', None), output_grp)
+                else:
+                    self._inner.end_document(None, None, None)
                 self._document_started = False
             parent = getattr(super(), 'shutdown', None)
             if parent is not None:

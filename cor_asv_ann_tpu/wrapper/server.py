@@ -60,7 +60,8 @@ def execute_job(processor_cls, job, cache=None, logger=None):
                                         directory=workspace)
     page_ids = job.get('page_id')
     if isinstance(page_ids, str):
-        page_ids = page_ids.split(',')
+        # '' (and ',,') mean "all pages", like the CLI's empty -g option
+        page_ids = [p for p in page_ids.split(',') if p] or None
     processor.process_workspace(
         workspace, job['input_file_grp'], job.get('output_file_grp'),
         page_ids=page_ids)
@@ -76,6 +77,7 @@ class ProcessorServer:
         host, port = address.rsplit(':', 1)
         self._cache = {}
         self._job_lock = threading.Lock()
+        self._stopping = False
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -101,23 +103,39 @@ class ProcessorServer:
             def do_POST(self):
                 if self.path == '/shutdown':
                     self._reply(200, {'ok': True})
-                    threading.Thread(target=outer._server.shutdown,
+                    outer._stopping = True
+                    threading.Thread(target=outer._drain_and_shutdown,
                                      daemon=True).start()
                     return
                 if self.path != '/process':
                     self._reply(404, {'error': 'unknown path %s' % self.path})
                     return
-                length = int(self.headers.get('Content-Length') or 0)
+                if outer._stopping:
+                    self._reply(503, {'error': 'server is shutting down'})
+                    return
+                # execute phase: job failures are the client's business
                 try:
+                    length = int(self.headers.get('Content-Length') or 0)
                     job = json.loads(self.rfile.read(length)
                                      .decode('utf-8'))
                     with outer._job_lock:
                         result = execute_job(outer.processor_cls, job,
                                              cache=outer._cache)
-                    self._reply(200, result)
                 except Exception as exc:
-                    self._reply(500, {'error': '%s: %s'
-                                      % (type(exc).__name__, exc)})
+                    try:
+                        self._reply(500, {'error': '%s: %s'
+                                          % (type(exc).__name__, exc)})
+                    except OSError:
+                        pass    # client gone; nothing committed anyway
+                    return
+                # send phase: the job already committed its workspace
+                # writes — a dead client socket must NOT be answered
+                # with a second (500) response, or the caller would
+                # retry a job that succeeded on disk
+                try:
+                    self._reply(200, result)
+                except OSError:
+                    pass
 
         self._server = ThreadingHTTPServer((host or '127.0.0.1',
                                             int(port)), Handler)
@@ -136,8 +154,17 @@ class ProcessorServer:
         self._thread.start()
         return self
 
-    def stop(self):
+    def _drain_and_shutdown(self):
+        # handler threads are daemons (ThreadingHTTPServer), so
+        # server_close does NOT join them: wait for an in-flight job's
+        # workspace mutation to finish before tearing the server down
+        with self._job_lock:
+            pass
         self._server.shutdown()
+
+    def stop(self):
+        self._stopping = True
+        self._drain_and_shutdown()
         if self._thread:
             self._thread.join(timeout=5)
 
@@ -152,22 +179,27 @@ def run_worker(processor_cls, queue_dir, once=False, poll=0.2,
     """Consume job files from `queue_dir` until stopped.
 
     A job is any ``*.json`` file (excluding ``*.result.json``); it is
-    claimed by renaming to ``*.json.claimed`` (atomic on one
-    filesystem), executed, and answered with ``<job>.result.json``.
+    claimed by renaming to ``*.json.claimed.<pid>.<tid>`` (atomic on
+    one filesystem), executed, and answered with ``<job>.result.json``.
     A claim whose worker died before writing the result would be lost
-    forever; claims older than ``STALE_CLAIM_SECONDS`` with no result
-    are therefore released back into the queue.
+    forever; claims older than ``STALE_CLAIM_SECONDS`` (measured from
+    claim time — the claim's mtime is refreshed on claiming) with no
+    result are therefore released back into the queue.
     `once` returns after the first executed job; `timeout` bounds the
     *idle* wait in seconds (the clock restarts after every executed
     job)."""
     cache = {}
+    # worker-unique claim suffix: this worker's final unlink can only
+    # ever remove its OWN claim, never another worker's re-claim of a
+    # job that was (wrongly or rightly) released while we ran it
+    tag = '.claimed.%d.%d' % (os.getpid(), threading.get_ident())
     deadline = time.time() + timeout if timeout is not None else None
     while True:
         claimed = None
         for name in sorted(os.listdir(queue_dir)):
             path = os.path.join(queue_dir, name)
-            if name.endswith('.json.claimed'):
-                base = path[:-len('.claimed')]
+            if '.json.claimed' in name:
+                base = path[:path.index('.json.claimed') + len('.json')]
                 try:
                     age = time.time() - os.path.getmtime(path)
                 except OSError:
@@ -182,9 +214,15 @@ def run_worker(processor_cls, queue_dir, once=False, poll=0.2,
             if not name.endswith('.json') or name.endswith('.result.json'):
                 continue
             try:
-                os.rename(path, path + '.claimed')
+                os.rename(path, path + tag)
             except OSError:
                 continue    # another worker claimed it first
+            # rename preserves mtime: refresh it so claim age measures
+            # time since CLAIMING, not time the job waited in the queue
+            try:
+                os.utime(path + tag)
+            except OSError:
+                pass
             claimed = (name, path)
             break
         if claimed is None:
@@ -194,7 +232,7 @@ def run_worker(processor_cls, queue_dir, once=False, poll=0.2,
             continue
         name, path = claimed
         try:
-            with open(path + '.claimed') as f:
+            with open(path + tag) as f:
                 job = json.load(f)
             result = execute_job(processor_cls, job, cache=cache)
         except Exception as exc:
@@ -202,7 +240,10 @@ def run_worker(processor_cls, queue_dir, once=False, poll=0.2,
                       'error': '%s: %s' % (type(exc).__name__, exc)}
         with open(path + '.result.json', 'w') as f:
             json.dump(result, f)
-        os.unlink(path + '.claimed')
+        try:
+            os.unlink(path + tag)
+        except OSError:
+            pass    # claim was released as stale while we ran overlong
         if once:
             return
         if deadline is not None:

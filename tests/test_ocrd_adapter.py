@@ -176,3 +176,50 @@ def test_available_without_ocrd():
     assert not ocrd_adapter.available()
     with pytest.raises(RuntimeError, match='not installed'):
         ocrd_adapter.cli('ocrd-cor-asv-ann-mark')
+
+
+def test_bridge_evaluate_flushes_report_file():
+    """With an output fileGrp and a core workspace attached, shutdown()
+    must write the aggregate report through core's own add_file (the
+    standalone runner's end_document deliverable)."""
+    ocrd, ocrd_page = make_stub_modules()
+    cls = ocrd_adapter.BRIDGES['ocrd-cor-asv-ann-evaluate'](
+        ocrd_module=ocrd, page_module=ocrd_page)
+    proc = cls(parameter={'metric': 'Levenshtein'})
+    proc.input_file_grp = 'GT,OCR'
+    proc.output_file_grp = 'EVAL'
+
+    added = []
+
+    class StubWorkspace:
+        # OCR-D core v3 Workspace.add_file keyword surface
+        def add_file(self, file_grp, file_id=None, page_id=None,
+                     mimetype=None, content=None, local_filename=None):
+            added.append((file_grp, file_id, page_id, mimetype,
+                          content, local_filename))
+
+    proc.workspace = StubWorkspace()
+    gt = StubPage(_page_with_line('Der Hund').to_bytes().decode('utf-8'))
+    ocr = StubPage(_page_with_line('Der Hvnd').to_bytes().decode('utf-8'))
+    proc.process_page_pcgts(gt, ocr, page_id='p1')
+    proc.shutdown()
+    assert len(added) == 1
+    grp, file_id, page_id, mimetype, content, local = added[0]
+    assert grp == 'EVAL' and page_id is None
+    assert mimetype == 'application/json'
+    import json
+    report = json.loads(content)
+    assert report['OCR,GT']['num-lines'] == 1
+
+
+def test_bridge_missing_primary_page_raises_cleanly():
+    """A None primary input document (page absent from the first
+    fileGrp) raises a clear ValueError instead of crashing the inner
+    processor (mirrors the standalone runner's docs[0] guard)."""
+    ocrd, ocrd_page = make_stub_modules()
+    cls = ocrd_adapter.BRIDGES['ocrd-cor-asv-ann-join'](
+        ocrd_module=ocrd, page_module=ocrd_page)
+    proc = cls(parameter={})
+    b = StubPage(_page_with_line('ab').to_bytes().decode('utf-8'))
+    with pytest.raises(ValueError, match='missing from the primary'):
+        proc.process_page_pcgts(None, b, page_id='p9')

@@ -478,3 +478,123 @@ def test_index_page_files_skips_non_pages(tmp_path):
     out = index_page_files(files)
     assert sorted(out) == ['p1', 'p2']
     assert out['p1'].id == 'f1' and out['p2'].id == 'f4'
+
+
+def test_execute_job_empty_page_id_means_all_pages(tmp_path):
+    """'' (the conventional all-pages value in job payloads) must not
+    be taken as the single nonexistent page '' (''.split(',')==[''])."""
+    from cor_asv_ann_tpu.wrapper.server import execute_job
+    ws_dir = tmp_path / 'ws'
+    build_ws(ws_dir, grps=('OCR', 'OCR2'))
+    job = {'workspace': str(ws_dir), 'input_file_grp': 'OCR,OCR2',
+           'output_file_grp': 'JOIN', 'page_id': ''}
+    result = execute_job(JoinLines, job)
+    assert result['ok']
+    assert set(Workspace(str(ws_dir)).page_files('JOIN')) == set(PAGES)
+
+
+def test_worker_releases_tagged_orphan_claims(tmp_path, monkeypatch):
+    """Claims carry worker-unique suffixes (.claimed.<pid>.<tid>);
+    a dead worker's tagged orphan must still be released and re-run."""
+    import os
+    import time
+    from cor_asv_ann_tpu.wrapper import server as S
+
+    ws_dir = tmp_path / 'ws'
+    build_ws(ws_dir)
+    queue = tmp_path / 'q'
+    os.makedirs(queue)
+    job = {'workspace': str(ws_dir), 'input_file_grp': 'OCR',
+           'output_file_grp': 'MARK',
+           'parameter': {'command': spell_script(tmp_path)}}
+    path = queue / 'job1.json'
+    path.write_text(json.dumps(job))
+    os.rename(path, str(path) + '.claimed.99999.1')
+    old = time.time() - 10
+    os.utime(str(path) + '.claimed.99999.1', (old, old))
+    monkeypatch.setattr(S, 'STALE_CLAIM_SECONDS', 5.0)
+    run_worker(MarkWords, str(queue), once=True, timeout=5.0)
+    result = json.loads((queue / 'job1.json.result.json').read_text())
+    assert result.get('ok'), result
+    assert not (queue / 'job1.json.claimed.99999.1').exists()
+
+
+def test_worker_fresh_claim_not_released(tmp_path, monkeypatch):
+    """A claim's age counts from CLAIM time, not job creation time: a
+    job that waited in the queue longer than STALE_CLAIM_SECONDS must
+    not be released (= runnable twice) right after being claimed."""
+    import os
+    import time
+    from cor_asv_ann_tpu.wrapper import server as S
+
+    queue = tmp_path / 'q'
+    os.makedirs(queue)
+    path = queue / 'job1.json'
+    path.write_text(json.dumps({'workspace': 'x', 'input_file_grp': 'Y'}))
+    old = time.time() - 100
+    os.utime(path, (old, old))      # job waited long in the queue
+    monkeypatch.setattr(S, 'STALE_CLAIM_SECONDS', 50.0)
+
+    freshened = []
+    real_utime = os.utime
+
+    def utime_spy(path, *args, **kwargs):
+        if not args and not kwargs and '.claimed' in str(path):
+            # claim-time refresh: verify it really resets the old mtime
+            freshened.append(time.time() - os.path.getmtime(path))
+        return real_utime(path, *args, **kwargs)
+
+    monkeypatch.setattr(S.os, 'utime', utime_spy)
+    # the job itself fails fast (bogus workspace) — irrelevant here
+    run_worker(MarkWords, str(queue), once=True, timeout=5.0)
+    # the worker refreshed the claim's mtime at claim time (the rename
+    # preserved the 100s-old queue mtime, well past STALE_CLAIM_SECONDS
+    # = 50), so a concurrent scan would NOT have released the claim
+    assert freshened and freshened[0] > 60.0
+    result = json.loads((queue / 'job1.json.result.json').read_text())
+    assert 'ok' in result
+
+
+def test_mets_server_tcp_ephemeral_port(tmp_path):
+    """host:0 binds an OS-assigned port; server.address must reflect
+    the ACTUAL bound port so clients can connect."""
+    ws_dir = tmp_path / 'ws'
+    build_ws(ws_dir)
+    server = MetsServer(str(ws_dir), '127.0.0.1:0').start()
+    try:
+        assert server.address[1] != 0
+        client = MetsClientWorkspace(server.address,
+                                     directory=str(ws_dir))
+        assert client.page_ids() == PAGES
+    finally:
+        server.stop()
+
+
+def test_server_shutdown_waits_for_inflight_job(tmp_path):
+    """POST /shutdown while a job is running must not kill the process
+    mid-write: stop() drains the in-flight job before returning."""
+    import time
+
+    class SlowJoin(JoinLines):
+        started = threading.Event()
+
+        def process_page(self, docs, page_id):
+            SlowJoin.started.set()
+            time.sleep(0.3)
+            return super().process_page(docs, page_id)
+
+    ws_dir = tmp_path / 'ws'
+    build_ws(ws_dir, grps=('OCR', 'OCR2'))
+    server = ProcessorServer(SlowJoin, '127.0.0.1:0').start()
+    job = {'workspace': str(ws_dir), 'input_file_grp': 'OCR,OCR2',
+           'output_file_grp': 'JOIN'}
+    worker = threading.Thread(target=client_process,
+                              args=(server.address, job))
+    worker.start()
+    try:
+        assert SlowJoin.started.wait(timeout=10)
+        server.stop()       # must block until the job committed
+        assert set(Workspace(str(ws_dir)).page_files('JOIN')) == \
+            set(PAGES)
+    finally:
+        worker.join(timeout=30)
