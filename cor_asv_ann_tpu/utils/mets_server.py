@@ -52,11 +52,14 @@ def parse_address(address):
 
 
 class _Handler(socketserver.StreamRequestHandler):
-    # a connected-but-silent client must not pin a (non-daemon) handler
-    # thread in readline() forever — that would wedge server_close and
-    # block interpreter exit; StreamRequestHandler.setup applies this
-    # as a socket timeout
-    timeout = 120.0
+    # a connected-but-silent client must not pin a handler thread in
+    # readline() forever; StreamRequestHandler.setup applies this as a
+    # socket timeout.  Handler threads are additionally daemonic (see
+    # MetsServer.__init__) so server_close never joins on a wedged
+    # client — METS state is safe either way because every mutation is
+    # serialized behind the dispatch lock and persisted in
+    # serve_forever's finally
+    timeout = 30.0
 
     def handle(self):
         try:
@@ -87,12 +90,14 @@ class MetsServer:
                 os.unlink(self.address)
             cls = type('UnixServer',
                        (socketserver.ThreadingMixIn,
-                        socketserver.UnixStreamServer), {})
+                        socketserver.UnixStreamServer),
+                       {'daemon_threads': True})
         else:
             cls = type('TcpServer',
                        (socketserver.ThreadingMixIn,
                         socketserver.TCPServer),
-                       {'allow_reuse_address': True})
+                       {'allow_reuse_address': True,
+                        'daemon_threads': True})
         self._server = cls(self.address, _Handler)
         if self.family != socket.AF_UNIX:
             # read back the ACTUAL bound address: 'host:0' asks the OS

@@ -98,8 +98,18 @@ def make_processor_class(page_processor_cls, ocrd_module=None,
                 grps = (grps + ['input-%d' % i for i in range(n_inputs)]
                         )[:n_inputs]
             self._doc_grps = grps
-            self._inner.start_document(
-                None, grps, getattr(self, 'output_file_grp', None))
+            output_grp = getattr(self, 'output_file_grp', None)
+            self._inner.start_document(None, grps, output_grp)
+            # processors that emit per-page workspace files outside the
+            # PAGE result (EvaluateLines' per-page JSON reports,
+            # reference evaluate.py:318-324) check their _workspace
+            # attribute from process_page; route those into core's
+            # workspace so bridge output matches the standalone runner
+            workspace = getattr(self, 'workspace', None)
+            if workspace is not None and output_grp and \
+                    hasattr(self._inner, '_workspace'):
+                self._inner._workspace = _WorkspaceShim(workspace)
+                self._inner._output_grp = output_grp
             self._document_started = True
 
         def process_page_pcgts(self, *input_pcgts, page_id=None):

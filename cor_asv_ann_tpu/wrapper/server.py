@@ -110,15 +110,23 @@ class ProcessorServer:
                 if self.path != '/process':
                     self._reply(404, {'error': 'unknown path %s' % self.path})
                     return
-                if outer._stopping:
-                    self._reply(503, {'error': 'server is shutting down'})
-                    return
                 # execute phase: job failures are the client's business
                 try:
                     length = int(self.headers.get('Content-Length') or 0)
                     job = json.loads(self.rfile.read(length)
                                      .decode('utf-8'))
                     with outer._job_lock:
+                        # the stopping check lives UNDER the job lock:
+                        # once _drain_and_shutdown (which sets
+                        # _stopping before taking the lock) acquires
+                        # it, every committed job has finished and
+                        # every later request lands here and gets 503
+                        # — no handler can slip between a pre-lock
+                        # check and the drain
+                        if outer._stopping:
+                            self._reply(503, {'error':
+                                              'server is shutting down'})
+                            return
                         result = execute_job(outer.processor_cls, job,
                                              cache=outer._cache)
                 except Exception as exc:
@@ -179,20 +187,20 @@ def run_worker(processor_cls, queue_dir, once=False, poll=0.2,
     """Consume job files from `queue_dir` until stopped.
 
     A job is any ``*.json`` file (excluding ``*.result.json``); it is
-    claimed by renaming to ``*.json.claimed.<pid>.<tid>`` (atomic on
-    one filesystem), executed, and answered with ``<job>.result.json``.
-    A claim whose worker died before writing the result would be lost
-    forever; claims older than ``STALE_CLAIM_SECONDS`` (measured from
-    claim time — the claim's mtime is refreshed on claiming) with no
-    result are therefore released back into the queue.
+    claimed by renaming to ``*.json.claimed.<pid>.<tid>.<epoch>``
+    (atomic on one filesystem), executed, and answered with
+    ``<job>.result.json``.  A claim whose worker died before writing
+    the result would be lost forever; claims older than
+    ``STALE_CLAIM_SECONDS`` with no result are therefore released back
+    into the queue.  The claim time rides IN the suffix so that claim
+    creation and claim-age visibility are one atomic rename — a
+    separate mtime refresh would leave a window in which a fresh claim
+    of a long-queued job still looks stale to another worker's scan,
+    double-executing the job.
     `once` returns after the first executed job; `timeout` bounds the
     *idle* wait in seconds (the clock restarts after every executed
     job)."""
     cache = {}
-    # worker-unique claim suffix: this worker's final unlink can only
-    # ever remove its OWN claim, never another worker's re-claim of a
-    # job that was (wrongly or rightly) released while we ran it
-    tag = '.claimed.%d.%d' % (os.getpid(), threading.get_ident())
     deadline = time.time() + timeout if timeout is not None else None
     while True:
         claimed = None
@@ -200,37 +208,46 @@ def run_worker(processor_cls, queue_dir, once=False, poll=0.2,
             path = os.path.join(queue_dir, name)
             if '.json.claimed' in name:
                 base = path[:path.index('.json.claimed') + len('.json')]
+                # claim age comes from the epoch embedded in the
+                # suffix (atomic with the claim rename itself);
+                # legacy/garbled suffixes fall back to file mtime
                 try:
-                    age = time.time() - os.path.getmtime(path)
-                except OSError:
-                    continue
-                if age > STALE_CLAIM_SECONDS and \
-                        not os.path.exists(base + '.result.json'):
+                    claim_time = float(name.rsplit('.', 1)[1])
+                except (IndexError, ValueError):
                     try:
-                        os.rename(path, base)   # release the orphan
+                        claim_time = os.path.getmtime(path)
                     except OSError:
-                        pass
+                        continue
+                if time.time() - claim_time <= STALE_CLAIM_SECONDS:
+                    continue
+                try:
+                    if os.path.exists(base + '.result.json'):
+                        os.unlink(path)     # done job: drop the orphan
+                    else:
+                        os.rename(path, base)   # release for re-run
+                except OSError:
+                    pass
                 continue
             if not name.endswith('.json') or name.endswith('.result.json'):
                 continue
+            # per-claim unique suffix: this worker's final unlink can
+            # only ever remove its OWN claim, never another worker's
+            # re-claim of a job that was released while we ran it
+            tag = '.claimed.%d.%d.%d' % (os.getpid(),
+                                         threading.get_ident(),
+                                         int(time.time()))
             try:
                 os.rename(path, path + tag)
             except OSError:
                 continue    # another worker claimed it first
-            # rename preserves mtime: refresh it so claim age measures
-            # time since CLAIMING, not time the job waited in the queue
-            try:
-                os.utime(path + tag)
-            except OSError:
-                pass
-            claimed = (name, path)
+            claimed = (name, path, tag)
             break
         if claimed is None:
             if deadline is not None and time.time() > deadline:
                 return
             time.sleep(poll)
             continue
-        name, path = claimed
+        name, path, tag = claimed
         try:
             with open(path + tag) as f:
                 job = json.load(f)

@@ -203,11 +203,18 @@ def test_bridge_evaluate_flushes_report_file():
     ocr = StubPage(_page_with_line('Der Hvnd').to_bytes().decode('utf-8'))
     proc.process_page_pcgts(gt, ocr, page_id='p1')
     proc.shutdown()
-    assert len(added) == 1
+    # one per-page report (reference evaluate.py:318-324) + one
+    # document-level report at shutdown
+    assert len(added) == 2
     grp, file_id, page_id, mimetype, content, local = added[0]
-    assert grp == 'EVAL' and page_id is None
+    assert grp == 'EVAL' and page_id == 'p1'
     assert mimetype == 'application/json'
     import json
+    page_report = json.loads(content)
+    assert 'OCR,GT' in page_report
+    grp, file_id, page_id, mimetype, content, local = added[1]
+    assert grp == 'EVAL' and page_id is None
+    assert mimetype == 'application/json'
     report = json.loads(content)
     assert report['OCR,GT']['num-lines'] == 1
 

@@ -522,7 +522,9 @@ def test_worker_releases_tagged_orphan_claims(tmp_path, monkeypatch):
 def test_worker_fresh_claim_not_released(tmp_path, monkeypatch):
     """A claim's age counts from CLAIM time, not job creation time: a
     job that waited in the queue longer than STALE_CLAIM_SECONDS must
-    not be released (= runnable twice) right after being claimed."""
+    not be released (= runnable twice) right after being claimed.  The
+    claim epoch rides in the rename suffix itself, so claim creation
+    and claim-age visibility are one atomic step (no utime window)."""
     import os
     import time
     from cor_asv_ann_tpu.wrapper import server as S
@@ -535,24 +537,43 @@ def test_worker_fresh_claim_not_released(tmp_path, monkeypatch):
     os.utime(path, (old, old))      # job waited long in the queue
     monkeypatch.setattr(S, 'STALE_CLAIM_SECONDS', 50.0)
 
-    freshened = []
-    real_utime = os.utime
+    claim_epochs = []
+    real_rename = os.rename
 
-    def utime_spy(path, *args, **kwargs):
-        if not args and not kwargs and '.claimed' in str(path):
-            # claim-time refresh: verify it really resets the old mtime
-            freshened.append(time.time() - os.path.getmtime(path))
-        return real_utime(path, *args, **kwargs)
+    def rename_spy(src, dst, *args, **kwargs):
+        if '.claimed.' in str(dst):
+            # the instant the claim exists, its embedded epoch must
+            # already be fresh — there is no separate freshen step a
+            # concurrent stale scan could race against
+            claim_epochs.append(float(str(dst).rsplit('.', 1)[1]))
+        return real_rename(src, dst, *args, **kwargs)
 
-    monkeypatch.setattr(S.os, 'utime', utime_spy)
+    monkeypatch.setattr(S.os, 'rename', rename_spy)
     # the job itself fails fast (bogus workspace) — irrelevant here
     run_worker(MarkWords, str(queue), once=True, timeout=5.0)
-    # the worker refreshed the claim's mtime at claim time (the rename
-    # preserved the 100s-old queue mtime, well past STALE_CLAIM_SECONDS
-    # = 50), so a concurrent scan would NOT have released the claim
-    assert freshened and freshened[0] > 60.0
+    assert claim_epochs and time.time() - claim_epochs[0] < 50.0
     result = json.loads((queue / 'job1.json.result.json').read_text())
     assert 'ok' in result
+
+
+def test_worker_stale_claim_with_result_is_dropped(tmp_path, monkeypatch):
+    """An orphaned claim whose dead worker DID write the result file
+    must be unlinked by the stale scan (not skipped forever)."""
+    import os
+    import time
+    from cor_asv_ann_tpu.wrapper import server as S
+
+    queue = tmp_path / 'q'
+    os.makedirs(queue)
+    monkeypatch.setattr(S, 'STALE_CLAIM_SECONDS', 50.0)
+    stale_epoch = int(time.time() - 100)
+    claim = queue / ('job0.json.claimed.1.2.%d' % stale_epoch)
+    claim.write_text(json.dumps({'workspace': 'x', 'input_file_grp': 'Y'}))
+    (queue / 'job0.json.result.json').write_text('{"ok": true}')
+    # idle scan (no live jobs): returns at the timeout
+    run_worker(MarkWords, str(queue), once=True, timeout=0.5)
+    assert not claim.exists()       # orphan cleaned up
+    assert (queue / 'job0.json.result.json').exists()   # result kept
 
 
 def test_mets_server_tcp_ephemeral_port(tmp_path):
