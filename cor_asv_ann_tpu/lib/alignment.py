@@ -17,11 +17,11 @@ that contain only punctuation/whitespace/symbols); implemented with a
 small fallback segmenter when `uniseg` is unavailable.
 """
 
+import heapq
 import logging
 import unicodedata
-from bisect import bisect_left, insort_left
 from difflib import SequenceMatcher
-from itertools import chain
+from typing import NamedTuple, Tuple
 
 # Level-1 historic Latin equivalence classes: sets of codepoint variants
 # counted as distance 0 at GT level 1 (reference alignment.py:8-45).
@@ -117,30 +117,19 @@ def _histlat_l2_tables():
     return _HISTLAT_L2_CACHE
 
 
-class Confusion:
-    """A counted confusion pair, ordered most-frequent-first."""
+class Confusion(NamedTuple):
+    """One ranked confusion-table entry: how often `pair` was confused.
 
-    def __init__(self, count, pair):
-        self.count = count
-        self.pair = pair
+    Plain value type; ranking lives in ``Alignment.get_confusion``.  As a
+    tuple subclass it renders as ``(count, pair)`` inside report JSON —
+    the serialization format the reference's evaluation reports use
+    (reference evaluate.py:289-294), kept for report compatibility.
+    """
+    count: int
+    pair: Tuple
 
     def __repr__(self):
-        return str((self.count, self.pair))
-
-    def __lt__(self, other):
-        return self.count > other.count
-
-    def __le__(self, other):
-        return self.count >= other.count
-
-    def __eq__(self, other):
-        return self.count == other.count
-
-    def __gt__(self, other):
-        return self.count < other.count
-
-    def __ge__(self, other):
-        return self.count <= other.count
+        return repr((self.count, self.pair))
 
 
 class Alignment:
@@ -261,24 +250,25 @@ class Alignment:
             self.confusion[pair] = self.confusion.get(pair, 0) + 1
 
     def get_confusion(self, limit=None):
-        """Top-`limit` non-identity confusion pairs + total pair count."""
+        """Top-`limit` non-identity confusion pairs + total pair count.
+
+        Entries are ranked most-frequent-first; among equal counts the
+        pair whose first occurrence was seen latest ranks first (the
+        counting dict preserves first-occurrence order, so recency is
+        just the reversed iteration order).
+        """
         if self.confusion is None:
             raise RuntimeError('aligner was not configured to count confusion')
-        table = []
-        total = 0
-        for pair, count in self.confusion.items():
-            total += count
-            if pair[0] == pair[1]:
-                continue
-            conf = Confusion(count, pair)
-            length = len(table)
-            idx = bisect_left(table, conf, hi=min(limit or length, length))
-            if limit and idx >= limit:
-                continue
-            table.insert(idx, conf)
+        total = sum(self.confusion.values())
+        freshest_first = [Confusion(count, pair)
+                          for pair, count in reversed(self.confusion.items())
+                          if pair[0] != pair[1]]
+        # stable sort over the recency-ordered list: count decides,
+        # recency breaks ties
+        freshest_first.sort(key=lambda entry: entry.count, reverse=True)
         if limit:
-            table = table[:limit]
-        return table, total
+            del freshest_first[limit:]
+        return freshest_first, total
 
     @staticmethod
     def get_levenshtein_distance(source_text, target_text):
@@ -373,101 +363,128 @@ def _levenshtein(a, b):  # pragma: no cover - fallback when rapidfuzz absent
     return prev[-1]
 
 
+class WorstLine:
+    """One entry on the worst-lines leaderboard kept by `Edits`."""
+
+    __slots__ = ('name', 'rate', 'length')
+
+    def __init__(self, name, rate, length):
+        self.name = name or ''
+        self.rate = rate
+        self.length = length
+
+    @property
+    def errors(self):
+        """Absolute error mass of the line (the leaderboard key)."""
+        return self.rate * self.length
+
+    def __str__(self):
+        label = self.name + ': ' if self.name else ''
+        return '%srate %.3f over %d tokens' % (label, self.rate, self.length)
+
+    __repr__ = __str__
+
+
 class Edits:
-    """Streaming error-rate aggregator with stable parallel merging.
+    """Streaming per-line error-rate statistics over a corpus.
 
-    Tracks length-weighted mean and variance of per-line rates (Chan et
-    al. 1979 update rule, reference alignment.py:419-433), per-token
-    histograms, and the worst ~1% example lines.
+    Design: raw weighted moments are accumulated (`length` = total token
+    weight, error mass = Σ rateᵢ·lenᵢ, and the weighted sum of squared
+    deviations); `mean` and `varia` are derived read-only views, and two
+    aggregators combine via the standard parallel-moments identity — so
+    sequential adds and `merge()` of partial aggregators yield identical
+    statistics (pinned by tests/test_alignment.py). Also keeps optional
+    per-token histograms and a bounded worst-lines leaderboard (min-heap
+    keyed by absolute error mass, sized to ~1% of lines seen, at least
+    10). Exposes the same observable statistics as the reference's
+    aggregator (reference alignment.py:366-459) with a different
+    internal architecture.
     """
-
-    class Example:
-        def __init__(self, **kwargs):
-            self.mean = 0
-            self.length = 0
-            self.name = ''
-            self.__dict__.update(kwargs)
-
-        def cost(self):
-            return -self.mean * self.length  # inverse order: worst first
-
-        def __repr__(self):
-            return ((f"{self.name}: " if self.name else "")
-                    + f"avg={self.mean} len={self.length}")
-
-        def __lt__(self, other):
-            return self.cost() < other.cost()
-
-        def __le__(self, other):
-            return self.cost() <= other.cost()
-
-        def __eq__(self, other):
-            return self.cost() == other.cost()
-
-        def __gt__(self, other):
-            return self.cost() > other.cost()
-
-        def __ge__(self, other):
-            return self.cost() >= other.cost()
 
     def __init__(self, logger=None, histogram=False):
         self.logger = logger or logging.getLogger(__name__)
-        self.length = 0
-        self.mean = 0.0
-        self.varia = 0.0
-        self.score = 0.0
-        self.steps = 0
-        self.hist1 = {'': 0} if histogram else dict()
-        self.hist2 = {'': 0} if histogram else dict()
-        self.worst = []
+        self.steps = 0        # number of (non-empty) lines seen
+        self.length = 0       # total token weight
+        self.score = 0.0      # free accumulator (−log p sums in evaluate)
+        self._errmass = 0.0   # Σ rateᵢ · lenᵢ
+        self._sqdev = 0.0     # Σ lenᵢ · (rateᵢ − mean)²  (weighted M2)
+        self._histogram = bool(histogram)
+        self.hist1 = {}
+        self.hist2 = {}
+        self._heap = []       # min-heap of (error mass, tie seq, WorstLine)
+        self._tie = 0
+
+    @property
+    def mean(self):
+        return self._errmass / self.length if self.length else 0.0
+
+    @property
+    def varia(self):
+        return self._sqdev / self.length if self.length else 0.0
+
+    @property
+    def worst(self):
+        """Leaderboard entries, worst (highest error mass) first."""
+        return [entry for _, _, entry in
+                sorted(self._heap, key=lambda item: (-item[0], item[1]))]
 
     def __repr__(self):
-        return 'N=%d µ=%.2f σ²=%.2f' % (self.length, self.mean, self.varia)
+        return '<Edits lines=%d tokens=%d rate=%.4f var=%.4f>' % (
+            self.steps, self.length, self.mean, self.varia)
 
     def hist(self):
         keys = set(self.hist1) | set(self.hist2)
         return {key: (self.hist1.get(key, 0), self.hist2.get(key, 0))
                 for key in sorted(keys)}
 
-    def update(self, steps, length, mean, varia, hist1, hist2):
-        if length < 1:
+    def _absorb(self, steps, weight, errmass, sqdev):
+        """Fold another population's raw moments into this one."""
+        if weight <= 0:
             return
+        if self.length:
+            delta = errmass / weight - self._errmass / self.length
+            self._sqdev += sqdev + (delta * delta * weight * self.length
+                                    / (weight + self.length))
+        else:
+            self._sqdev = sqdev
+        self._errmass += errmass
+        self.length += weight
         self.steps += steps
-        delta = mean - self.mean
-        self.mean = ((length * mean + self.length * self.mean)
-                     / (length + self.length))
-        self.varia = (length * varia + self.length * self.varia
-                      + delta ** 2 * length * self.length
-                      / (length + self.length))
-        self.length += length
-        self.varia /= self.length
-        for tok, n in hist1.items():
-            self.hist1[tok] = n + self.hist1.get(tok, 0)
-        for tok, n in hist2.items():
-            self.hist2[tok] = n + self.hist2.get(tok, 0)
+
+    def _note_worst(self, entry):
+        cap = max(10, self.steps // 100)
+        self._tie += 1
+        heapq.heappush(self._heap, (entry.errors, self._tie, entry))
+        while len(self._heap) > cap:
+            heapq.heappop(self._heap)
+
+    def _count_tokens(self, seq1, seq2):
+        for tok in seq1:
+            self.hist1[tok] = self.hist1.get(tok, 0) + 1
+        for tok in seq2:
+            self.hist2[tok] = self.hist2.get(tok, 0) + 1
 
     def add(self, dist, length, seq1, seq2, name=None):
-        hist1, hist2 = dict(), dict()
-        if self.hist1:
-            for tok in seq1:
-                hist1[tok] = 1 + hist1.get(tok, 0)
-        if self.hist2:
-            for tok in seq2:
-                hist2[tok] = 1 + hist2.get(tok, 0)
-        rate = dist / length if length else 0
-        self.update(1, length, rate, 0, hist1, hist2)
-        insort_left(self.worst,
-                    Edits.Example(mean=rate, length=length, name=name))
-        self.worst = self.worst[:max(int(self.steps * 0.01), 10)]
+        """Record one line: `dist` edit operations over `length` tokens."""
+        rate = dist / length if length else 0.0
+        if self._histogram:
+            self._count_tokens(seq1, seq2)
+        self._absorb(1, length, rate * length, 0.0)
+        self._note_worst(WorstLine(name, rate, length))
 
     def merge(self, edits, name_prefix=None):
-        self.update(edits.steps, edits.length, edits.mean, edits.varia,
-                    edits.hist1, edits.hist2)
-        if name_prefix:
-            for example in edits.worst:
-                example.name = name_prefix + example.name
-        self.worst = sorted(chain(self.worst, edits.worst))[
-            :max(int(self.steps * 0.01), 10)]
+        """Fold a partial aggregator into this one (stats, histograms,
+        and leaderboard); optionally prefix the absorbed line names."""
+        self._absorb(edits.steps, edits.length,
+                     edits._errmass, edits._sqdev)
+        for ours, theirs in ((self.hist1, edits.hist1),
+                             (self.hist2, edits.hist2)):
+            for tok, count in theirs.items():
+                ours[tok] = ours.get(tok, 0) + count
+        for entry in edits.worst:
+            if name_prefix:
+                entry.name = name_prefix + entry.name
+            self._note_worst(entry)
 
 
 def _unwanted(c):
