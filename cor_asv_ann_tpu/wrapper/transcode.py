@@ -28,28 +28,7 @@ from ..utils.data import GAP
 from .base import PageProcessor, processor_cli
 
 
-def resolve_resource(name):
-    """Resolve a model file name against CWD, $CORASVANN_DATA and the
-    user's data directory (reference resolves via OCR-D resmgr with the
-    CORASVANN_DATA override, README.md:409)."""
-    import os
-    if os.path.isabs(name) and os.path.exists(name):
-        return name
-    candidates = [
-        name,
-        os.path.join(os.environ.get('CORASVANN_DATA', ''), name),
-        os.path.join(os.path.expanduser('~/.local/share/cor-asv-ann'),
-                     name),
-        os.path.join(os.path.expanduser(
-            '~/.local/share/ocrd-resources/ocrd-cor-asv-ann-process'),
-            name),
-    ]
-    for cand in candidates:
-        if cand and os.path.exists(cand):
-            return cand
-    raise FileNotFoundError(
-        'cannot resolve model resource %r (searched: %s; set '
-        'CORASVANN_DATA)' % (name, candidates))
+from .resources import resolve_resource
 
 
 class ArtificialTextEquiv:
