@@ -35,13 +35,17 @@ def test_make_mesh_bad_data_axis():
 @pytest.mark.skipif(len(jax.devices()) < 8, reason='needs 8 devices')
 def test_dryrun_multichip_consistency(capsys):
     import __graft_entry__
+
+    def loss_of(out):
+        line = next(l for l in out.splitlines() if ' loss ' in l)
+        return float(line.rsplit(' ', 1)[-1])
+
     __graft_entry__.dryrun_multichip(8)
     out8 = capsys.readouterr().out
     __graft_entry__.dryrun_multichip(1)
     out1 = capsys.readouterr().out
-    loss8 = float(out8.strip().rsplit(' ', 1)[-1])
-    loss1 = float(out1.strip().rsplit(' ', 1)[-1])
-    assert abs(loss8 - loss1) < 1e-3
+    assert 'serving decode equal: True' in out8
+    assert abs(loss_of(out8) - loss_of(out1)) < 1e-3
 
 
 @pytest.mark.skipif(len(jax.devices()) < 2, reason='needs 2+ devices')
