@@ -263,12 +263,18 @@ class _BeamNode:
 def decode_sequence_beam(params, config, mapping, source_seq,
                          rejection_threshold=0.3, beam_width_in=15,
                          beam_threshold_in=0.2, beam_width_out=16,
-                         batch_size=256):
+                         batch_size=256, debug_cb=None):
     """Reference-semantics A*-like beam search for ONE line (NumPy).
 
     Faithful re-derivation of seq2seq.py:1356-1544 including the global
     best-first queue, rejection candidates and successive-max-reset
     feedback. Yields (text, probs, score, alignments) best-first.
+
+    `debug_cb(info_dict)`, if given, is called once per expanded node
+    with its rejection-mechanism internals (text, misalignment,
+    source_pos, rej char/prob) — used by tools/beam_divergence.py to
+    exhibit where flagship-scale divergences sit relative to the
+    reference's eligibility bounds.
     """
     from bisect import insort_left
     enc_input = source_seq[None]
@@ -330,16 +336,28 @@ def decode_sequence_beam(params, config, mapping, source_seq,
                 source_pos = 0
             source_pos = min(source_pos, attended_len - 1)
             source_scores = source_seq[source_pos]
-            if (rejection_threshold
-                    and (misalignment < 0.1
-                         or (len(np.shape(node.alignment)) and
-                             np.max(node.alignment) == 1.0))
-                    and np.any(source_scores)):
+            eligible = bool(
+                rejection_threshold
+                and (misalignment < 0.1
+                     or (len(np.shape(node.alignment)) and
+                         np.max(node.alignment) == 1.0))
+                and np.any(source_scores))
+            if eligible:
                 rej_idx = int(np.nanargmax(source_scores))
+                rej_p_raw = float(scores[rej_idx])
                 if scores[rej_idx] < rejection_threshold:
                     scores[rej_idx] = rejection_threshold
             else:
                 rej_idx = None
+                rej_p_raw = None
+            if debug_cb is not None:
+                debug_cb(dict(
+                    text=''.join(n.value for n in node.to_sequence()[1:]),
+                    misalignment=float(misalignment),
+                    source_pos=int(source_pos), eligible=eligible,
+                    rej_idx=rej_idx, rej_p=rej_p_raw,
+                    was_rej=bool(np.size(node.alignment) and
+                                 np.max(node.alignment) == 1.0)))
             order = np.argsort(scores)
             highest = scores[order[-1]]
             beampos = V - np.searchsorted(scores[order],

@@ -92,12 +92,19 @@ def _gather_rows(x, ix):
     measured 1.2x on whole-beam decode at T=64); the matmul reads all T
     rows though, so genuine row gathers take over from T=129 up, where
     reading only the WIN visible rows is the point (this is also the
-    regime of decode_greedy_windowed). Bit-exact either way."""
+    regime of decode_greedy_windowed). precision=HIGHEST is required
+    for bit-exactness: at default precision the MXU rounds the f32
+    operands to bf16 in the multiply, corrupting every selected row by
+    ~2^-8 relative — enough, compounded over a line, to drift the
+    beam's states macroscopically off the greedy trunk (measured: the
+    round-2 flagship 8/12 divergence was exactly this). HIGHEST is
+    measured speed-neutral for these shapes (one operand is one-hot)."""
     B, T = x.shape[0], x.shape[1]
     if T <= 128:
         oh = jax.nn.one_hot(ix, T, dtype=x.dtype)    # (B, K, WIN, T)
         out = jnp.einsum('bkwt,btd->bkwd', oh, x,
-                         preferred_element_type=jnp.float32)
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
         return out.astype(x.dtype)
     return x[jnp.arange(B)[:, None, None], ix]
 
@@ -107,12 +114,18 @@ def _sel_rows(ix, src, n):
 
     XLA's row gather runs far slower per byte than streaming reads on
     TPU; a (B, K, n) one-hot times (B, n, D) batched matmul streams both
-    operands through the MXU instead. Bit-exact: exactly one unit term
-    contributes to each output row (value * 1.0 accumulated in float32
-    round-trips any float dtype unchanged)."""
+    operands through the MXU instead. Bit-exact ONLY at
+    precision=HIGHEST: exactly one unit term contributes to each output
+    row, but at default precision the MXU rounds the f32 source operand
+    to bf16 in the multiply (measured 3.9e-3 relative), which corrupted
+    every reservoir merge per iteration and drifted hypothesis states
+    off the greedy trunk (the round-2 8/12 flagship beam divergence).
+    HIGHEST restores exact selection at no measured cost (0.75ms vs
+    0.73ms at B=256, R+K=112, D=1024; take_along_axis: 1.18ms)."""
     oh = jax.nn.one_hot(ix, n, dtype=src.dtype)
     out = jnp.einsum('bks,bsd->bkd', oh, src,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
     return out.astype(src.dtype)
 
 
@@ -161,8 +174,12 @@ def beam_decoder_step(params, config, feedback, layer_states, aw, astart,
     s_en = jnp.where(visible, s_en, -1e30)
     a_w = jax.nn.softmax(s_en, axis=-1)
     a_w = a_w * jnp.any(visible, axis=-1, keepdims=True)
+    # HIGHEST: exact multiplies, like the greedy paths' elementwise
+    # context sums (attention.py finish/shared) — keeps the beam's
+    # per-step float behavior aligned with the greedy trunk
     ctx = jnp.einsum('bkn,bkna->bka', a_w, att_w,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
     probs, hc = seq2seq.decoder_top_cell(params, config, out, ctx, h_prev,
                                          c_prev, step)
     new_states.append(hc)
@@ -180,10 +197,11 @@ def beam_decoder_step(params, config, feedback, layer_states, aw, astart,
 
 
 @functools.partial(jax.jit, static_argnames=('config', 'bp', 'max_steps',
-                                             'return_alignments'))
+                                             'return_alignments',
+                                             'return_trace'))
 def decode_beam(params, config: Seq2SeqConfig, bp: BeamParams, enc_input,
                 newline_idx, src_len, max_steps=None,
-                return_alignments=False):
+                return_alignments=False, return_trace=False):
     """Beam-decode a batch of lines entirely on device.
 
     enc_input: (B, T, V) source vectors; src_len: (B,) per-line source
@@ -279,6 +297,24 @@ def decode_beam(params, config: Seq2SeqConfig, bp: BeamParams, enc_input,
         rec_astart=(jnp.zeros((B, S, R), jnp.int32)
                     if return_alignments
                     else jnp.zeros((0,), jnp.int32)),
+        # candidate-level debug records, allocated only under
+        # return_trace (tools/beam_divergence.py instrumentation)
+        rec_exp=(jnp.full((B, S, K), -1, jnp.int32) if return_trace
+                 else jnp.zeros((0,), jnp.int32)),
+        rec_cidx=(jnp.full((B, S, K, C + 1), -1, jnp.int32)
+                  if return_trace else jnp.zeros((0,), jnp.int32)),
+        rec_cp=(jnp.zeros((B, S, K, C + 1), jnp.float32)
+                if return_trace else jnp.zeros((0,), jnp.float32)),
+        rec_cvalid=(jnp.zeros((B, S, K, C + 1), bool)
+                    if return_trace else jnp.zeros((0,), bool)),
+        rec_misal=(jnp.zeros((B, S, K), jnp.float32) if return_trace
+                   else jnp.zeros((0,), jnp.float32)),
+        rec_srcpos=(jnp.full((B, S, K), -1, jnp.int32) if return_trace
+                    else jnp.zeros((0,), jnp.int32)),
+        rec_rejok=(jnp.zeros((B, S, K), bool) if return_trace
+                   else jnp.zeros((0,), bool)),
+        rec_rejp=(jnp.zeros((B, S, K), jnp.float32) if return_trace
+                  else jnp.zeros((0,), jnp.float32)),
         bank_cost=jnp.full((B, F), INF, jnp.float32),
         bank_cum=jnp.full((B, F), INF, jnp.float32),
         bank_len=jnp.zeros((B, F), jnp.int32),
@@ -562,6 +598,22 @@ def decode_beam(params, config: Seq2SeqConfig, bp: BeamParams, enc_input,
             is_old, jnp.take_along_axis(s['is_fin'], old_ix, axis=1),
             cand_of(c_fin))
 
+        rec_dbg = {}
+        if return_trace:
+            rec_dbg = dict(
+                rec_exp=s['rec_exp'].at[:, t, :].set(
+                    jnp.where(exp_ok, exp_ix, -1)),
+                rec_cidx=s['rec_cidx'].at[:, t].set(cand_idx),
+                rec_cp=s['rec_cp'].at[:, t].set(
+                    cand_p.astype(jnp.float32)),
+                rec_cvalid=s['rec_cvalid'].at[:, t].set(valid),
+                rec_misal=s['rec_misal'].at[:, t].set(
+                    misal.astype(jnp.float32)),
+                rec_srcpos=s['rec_srcpos'].at[:, t].set(src_pos),
+                rec_rejok=s['rec_rejok'].at[:, t].set(rej_ok),
+                rec_rejp=s['rec_rejp'].at[:, t].set(
+                    rej_p.astype(jnp.float32)))
+
         # --- termination ----------------------------------------------
         no_live = ~jnp.any(jnp.isfinite(new_pro), axis=1)
         over = (t + 1).astype(len0.dtype) >= 2.0 * len0
@@ -574,7 +626,16 @@ def decode_beam(params, config: Seq2SeqConfig, bp: BeamParams, enc_input,
                     is_fin=new_isfin, done=done,
                     rec_parent=rec_parent, rec_char=rec_char, rec_p=rec_p,
                     rec_ap=rec_ap, rec_arow=rec_arow,
-                    rec_astart=rec_astart, **new_bank)
+                    rec_astart=rec_astart,
+                    rec_exp=rec_dbg.get('rec_exp', s['rec_exp']),
+                    rec_cidx=rec_dbg.get('rec_cidx', s['rec_cidx']),
+                    rec_cp=rec_dbg.get('rec_cp', s['rec_cp']),
+                    rec_cvalid=rec_dbg.get('rec_cvalid', s['rec_cvalid']),
+                    rec_misal=rec_dbg.get('rec_misal', s['rec_misal']),
+                    rec_srcpos=rec_dbg.get('rec_srcpos', s['rec_srcpos']),
+                    rec_rejok=rec_dbg.get('rec_rejok', s['rec_rejok']),
+                    rec_rejp=rec_dbg.get('rec_rejp', s['rec_rejp']),
+                    **new_bank)
 
     def cond(s):
         return (s['t'] < S) & ~jnp.all(s['done'])
@@ -648,4 +709,19 @@ def decode_beam(params, config: Seq2SeqConfig, bp: BeamParams, enc_input,
     if return_alignments:
         out['align_row'] = arow[:, :Fo]
         out['align_start'] = ast[:, :Fo]
+    if return_trace:
+        # debugging/instrumentation (tools/beam_divergence.py): the raw
+        # per-iteration trie records plus final reservoir state, enough
+        # to reconstruct every slot's text/cost at every iteration
+        out['trace'] = dict(rec_parent=s['rec_parent'],
+                            rec_char=s['rec_char'], rec_p=s['rec_p'],
+                            pro=s['pro'], cum=s['cum'],
+                            nchars=s['nchars'], is_fin=s['is_fin'],
+                            t=s['t'], rec_exp=s['rec_exp'],
+                            rec_cidx=s['rec_cidx'], rec_cp=s['rec_cp'],
+                            rec_cvalid=s['rec_cvalid'],
+                            rec_misal=s['rec_misal'],
+                            rec_srcpos=s['rec_srcpos'],
+                            rec_rejok=s['rec_rejok'],
+                            rec_rejp=s['rec_rejp'])
     return out
