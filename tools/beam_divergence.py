@@ -23,7 +23,18 @@ Method, per line:
      our bank (rank + margin under our scoring),
   4. re-run the reference under ``floatx=float64`` on the divergent lines
      (same weights, cast): if its 1-best changes, the line is a measured
-     float tie in the reference itself.
+     float tie in the reference itself,
+  5. for lines still open, run the **chain-entry margin probe**: replay
+     the NumPy oracle (reference semantics, host f32) with its debug
+     hook and our device beam with return_trace, collect the
+     rejection-mechanism internals (misalignment, eligibility) for every
+     expanded node whose text is a prefix of the reference's 1-best, and
+     locate the longest prefix where the oracle designates a rejection
+     candidate but our search does not.  If the misalignment values
+     there sit within MARGIN of the reference's hard ``misalignment <
+     0.1`` gate (reference seq2seq.py:1457-1461) on either side, the
+     divergence is a measured eligibility-bound tie: the reference's own
+     sibling hypotheses straddle its own cutoff.
 
 Writes a JSON report next to this file (beam_divergence_report.json) and a
 human-readable summary to stdout.
@@ -40,6 +51,69 @@ FLAGSHIP = os.path.join(REPO, 'testmodels', 'flagship.d2.w512.synthetic.h5')
 REPORT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                       'beam_divergence_report.json')
 COST0 = 3.0
+# eligibility-bound tie window around the reference's misalignment<0.1
+# rejection gate: a divergence whose gate-side misalignments sit this
+# close to 0.1 is decided by float noise the reference itself exhibits
+MARGIN = 0.02
+
+
+def chain_entry_probe(config, mapping, params, enc_line, our_trace_events,
+                      ref_best):
+    """Locate the decisive rejection-eligibility gate for one line.
+
+    our_trace_events: {prefix_text: [(misal, rej_ok), ...]} from the
+    device beam's return_trace, restricted to prefixes of ref_best.
+    Runs the NumPy oracle (reference semantics) with the same
+    restriction and returns the longest ref-best prefix where the oracle
+    has an eligible soft-alignment expansion (chain entry) but ours has
+    none, with both sides' misalignment values there.
+    """
+    import jax
+    import numpy as np
+    from cor_asv_ann_tpu.lib import numpy_ref
+    cfg = dict(depth=config.depth, width=config.width,
+               mask_padding=config.mask_padding,
+               window_width=config.window_width,
+               residual_connections=config.residual_connections,
+               deep_bidirectional_encoder=config.deep_bidirectional_encoder,
+               bridge_dense=config.bridge_dense)
+    np_params = jax.tree_util.tree_map(
+        lambda x: np.asarray(x, np.float32), params)
+    oracle_events = {}
+
+    def cb(info):
+        tx = info['text']
+        if ref_best.startswith(tx):
+            oracle_events.setdefault(tx, []).append(
+                (info['misalignment'], info['eligible'], info['was_rej']))
+
+    next(numpy_ref.decode_sequence_beam(np_params, cfg, mapping, enc_line,
+                                        debug_cb=cb), None)
+    # longest prefix where the oracle enters a rejection chain through
+    # the soft gate (eligible without a prior one-hot marker) but our
+    # search never does
+    best = None
+    for tx, evs in oracle_events.items():
+        o_soft = [m for m, e, w in evs if e and not w]
+        if not o_soft:
+            continue
+        ours = our_trace_events.get(tx, [])
+        if any(ok for _, ok in ours):
+            continue
+        if best is None or len(tx) > len(best[0]):
+            best = (tx, o_soft, [m for m, _ in ours])
+    if best is None:
+        return None
+    tx, o_soft, our_mis = best
+    o_all = [m for m, _, _ in oracle_events[tx]]
+    gate_margin = min([abs(m - 0.1) for m in o_soft + our_mis] or [1e9])
+    return {'prefix': tx, 'prefix_len': len(tx),
+            'oracle_misal_eligible': sorted(o_soft),
+            'oracle_misal_all': sorted(o_all),
+            'our_misal': sorted(our_mis),
+            'gate_margin': gate_margin,
+            'straddles': bool(o_soft and (max(o_all) >= 0.1
+                                          or bool(our_mis)))}
 
 
 def ref_finals(s2s, enc_line, length0):
@@ -210,6 +284,7 @@ def main():
             tf_keras.backend.arange = orig_arange
 
     # --- classify --------------------------------------------------------
+    open_lines = []
     for rec in lines:
         if rec['agree']:
             continue
@@ -230,14 +305,59 @@ def main():
         elif margin is not None and margin < 1e-2:
             rec['class'] = ('float-tie (ref-pro margin %.2e at the '
                             'decisive ranking)' % margin)
-        elif margin is None:
-            rec['class'] = 'OPEN: our 1-best absent from reference finals'
         else:
-            rec['class'] = 'OPEN: margin %.4f — needs step-level look' % (
-                margin)
+            open_lines.append(rec)
         rec['ref_f64_best'] = best64
         rec['ref_f64_finals'] = rf64
-        print('line %2d class: %s' % (j, rec['class']))
+
+    # --- chain-entry margin probe on still-open lines --------------------
+    if open_lines:
+        out_tr = decode_beam(params_f32, config, bp, jax.device_put(enc),
+                             newline, jax.device_put(src_len),
+                             return_trace=True)
+        tr = {k: np.asarray(v) for k, v in out_tr['trace'].items()}
+        t_end = int(tr['t'])
+        for rec in open_lines:
+            j, ref_best = rec['line'], rec['ref_best']
+            rp, rc = tr['rec_parent'][j], tr['rec_char'][j]
+            rexp, rmis = tr['rec_exp'][j], tr['rec_misal'][j]
+            rok = tr['rec_rejok'][j]
+            R = rc.shape[1]
+            texts = [''] * R
+            ev = {}
+            for t in range(t_end):
+                for k in range(rexp.shape[1]):
+                    r = rexp[t, k]
+                    if r >= 0 and ref_best.startswith(texts[r]):
+                        ev.setdefault(texts[r], []).append(
+                            (float(rmis[t, k]), bool(rok[t, k])))
+                texts = [texts[rp[t, r]]
+                         + (mapping.i2c[int(rc[t, r])] if rc[t, r] >= 0
+                            else '') for r in range(R)]
+            gate = chain_entry_probe(config, mapping, params, enc[j], ev,
+                                     ref_best)
+            rec['chain_entry'] = gate
+            margin = rec.get('our_best_ref_pro_margin')
+            if gate and gate['gate_margin'] < MARGIN:
+                rec['class'] = (
+                    'eligibility-bound tie: at prefix len %d the decisive '
+                    'rejection gate (misalignment < 0.1, reference '
+                    'seq2seq.py:1457-1461) is crossed both ways by the '
+                    "reference's own sibling hypotheses (eligible %s, all "
+                    '%s) while ours land at %s — min gate margin %.2e'
+                    % (gate['prefix_len'],
+                       ['%.4f' % m for m in gate['oracle_misal_eligible']],
+                       ['%.4f' % m for m in gate['oracle_misal_all'][:6]],
+                       ['%.4f' % m for m in gate['our_misal'][:6]],
+                       gate['gate_margin']))
+            elif margin is None:
+                rec['class'] = 'OPEN: our 1-best absent from reference finals'
+            else:
+                rec['class'] = ('OPEN: margin %.4f — needs step-level look'
+                                % margin)
+    for rec in lines:
+        if not rec['agree']:
+            print('line %2d class: %s' % (rec['line'], rec['class']))
 
     agree_n = sum(r['agree'] for r in lines)
     summary = {'settings': {'rejection': 0.3, 'width_in': 15,
