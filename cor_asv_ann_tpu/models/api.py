@@ -109,6 +109,16 @@ class Sequence2Sequence:
         self.beam_width_in = 15
         self.beam_threshold_in = 0.2
         self.beam_width_out = 16
+        # device-beam search bounds (None = auto, see _beam_params).
+        # The auto reservoir is tuned on confident models (flagship:
+        # 12/12 reference agreement at R=32); weakly trained models ride
+        # near-ties and need a deeper reservoir to match the reference's
+        # unbounded best-first queue — measured on the reference-trained
+        # w64 artifact: 27/48 byte-equal at R=32, 37/48 at R=64, 46/48
+        # at R=256 (tests/test_reference_artifact.py). Raise for
+        # fidelity-critical serving of low-confidence models.
+        self.beam_reservoir = None
+        self.beam_expand = None
         # runtime
         self.logger = logger or logging.getLogger(__name__)
         self.progbars = progbars
@@ -273,9 +283,12 @@ class Sequence2Sequence:
         # diverges at R=32), so they keep 4*width_in.
         deep = self.rejection_threshold > 0.3
         return BeamParams(
-            reservoir=max((4 if deep else 2) * self.beam_width_in,
-                          64 if deep else 32),
-            expand=48,
+            reservoir=int(self.beam_reservoir
+                          if self.beam_reservoir is not None
+                          else max((4 if deep else 2) * self.beam_width_in,
+                                   64 if deep else 32)),
+            expand=int(self.beam_expand
+                       if self.beam_expand is not None else 48),
             beam_width_in=int(self.beam_width_in),
             beam_threshold_in=float(self.beam_threshold_in),
             beam_width_out=int(self.beam_width_out),

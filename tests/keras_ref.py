@@ -162,6 +162,11 @@ def install_full_shims():
     tf_keras.backend.set_session = lambda sess: None
     tf_keras.backend.tensorflow_backend = types.SimpleNamespace(
         _get_available_gpus=lambda: [])
+    if not hasattr(tf_keras.backend, 'slice'):
+        # TF1 K.slice (used by the reference's _regularise_chars,
+        # seq2seq.py:540) was dropped from tf_keras.backend
+        import tensorflow as tf
+        tf_keras.backend.slice = tf.slice
     lambda_init = tf_keras.layers.Lambda.__init__
 
     def sanitizing_init(self, *args, **kwargs):
@@ -246,10 +251,15 @@ def reference_s2s(model_path, t_enc):
     patch_reference_cell(int(t_enc), int(s2s.width))
     s2s.configure()
     s2s.load_weights(model_path)
-    # the reference's beam passes the attended sequence with batch 1
-    # alongside a fringe of N stacked hypothesis states, relying on
-    # Keras 2.3's implicit broadcast; tf_keras enforces cardinality, so
-    # materialize the broadcast (numerically identical)
+    patch_beam_broadcast(s2s)
+    return s2s
+
+
+def patch_beam_broadcast(s2s):
+    """The reference's beam passes the attended sequence with batch 1
+    alongside a fringe of N stacked hypothesis states, relying on
+    Keras 2.3's implicit broadcast; tf_keras enforces cardinality, so
+    materialize the broadcast (numerically identical)."""
     orig_pob = s2s.decoder_model.predict_on_batch
 
     def predict_on_batch(inputs):
@@ -261,7 +271,6 @@ def reference_s2s(model_path, t_enc):
         return orig_pob(inputs)
 
     s2s.decoder_model.predict_on_batch = predict_on_batch
-    return s2s
 
 
 def _adapted_cell_class(width, t_enc, attended_size):
