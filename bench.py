@@ -142,6 +142,42 @@ def bench_tpu(params, config, mapping, enc, repeats=20):
     return repeats * enc.shape[0] / dt, steps
 
 
+def bench_fused(params, config, mapping, enc, repeats=20):
+    """Fused whole-loop Pallas greedy decode vs the XLA path at small
+    batch (chained protocol like bench_tpu). Returns lines/sec for both
+    and the ratio — the fused path is the serving default at
+    B <= FUSED_DECODE_MAX_B (models/api.py)."""
+    import jax
+    import jax.numpy as jnp
+    from cor_asv_ann_tpu.models.seq2seq import decode_greedy
+    from cor_asv_ann_tpu.ops.pallas_decode_loop import decode_greedy_fused
+    newline = mapping.get('\n')
+    params = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a).astype(jnp.bfloat16), params)
+    enc = jax.device_put(enc)
+
+    def run(fn):
+        out = fn(params, config, enc, newline)
+        np.asarray(out[2])
+        e = enc
+        for _ in range(2):
+            out = fn(params, config, e, newline)
+            e = e + (out[3][0] * 0).astype(e.dtype)
+        np.asarray(out[2])
+        t0 = time.perf_counter()
+        e = enc
+        for _ in range(repeats):
+            out = fn(params, config, e, newline)
+            e = e + (out[3][0] * 0).astype(e.dtype)
+        np.asarray(out[2])
+        return repeats * enc.shape[0] / (time.perf_counter() - t0)
+
+    xla = run(decode_greedy)
+    fused = run(decode_greedy_fused)
+    return {'fused': round(fused, 2), 'xla': round(xla, 2),
+            'ratio': round(fused / xla, 2), 'unit': 'lines/sec/chip'}
+
+
 def bench_tpu_beam(params, config, mapping, enc, src_len, repeats=5,
                    dtype='bfloat16'):
     """Beamed decode throughput at serving settings (BeamParams
@@ -446,6 +482,11 @@ def main():
             'value': round(long_lps, 2),
             'unit': 'lines/sec/chip',
         }
+        # small-batch latency point: the fused whole-loop Pallas decode
+        # (weights VMEM-resident across characters) vs the XLA path at
+        # B=64 — the serving default below FUSED_DECODE_MAX_B
+        result['fused_smallbatch_B64'] = bench_fused(params, config,
+                                                     mapping, enc[:64])
     print(json.dumps(result))
     watchdog.cancel()
 

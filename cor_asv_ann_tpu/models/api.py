@@ -32,6 +32,9 @@ from ..utils.data import (CharMapping, GAP, gen_line_batches,
 from .beam import BeamParams, decode_beam
 from .config import Seq2SeqConfig, init_params
 from .seq2seq import decode_greedy, decode_greedy_windowed
+from ..ops.pallas_decode_loop import (FUSED_DECODE_MAX_B,
+                                      decode_greedy_fused,
+                                      fused_greedy_supported)
 
 # bucket length above which windowed-gather attention beats the
 # shared-window/dense decoder (which still streams T-sized tensors on
@@ -101,6 +104,14 @@ class Sequence2Sequence:
         # 'bfloat16' (MXU-native, ~2x matmul throughput, tiny CER impact;
         # master weights stay float32)
         self.compute = 'float32'
+        # whole-loop Pallas greedy decode (weights VMEM-resident across
+        # all characters) for small bf16 batches: measured 2.3-2.8x at
+        # B=16 vs the XLA path on the flagship, parity-within-noise at
+        # B=64 (NOTES.md); the XLA path amortizes weight streaming at
+        # production batch and stays the default there
+        # (ops/pallas_decode_loop.py FUSED_DECODE_MAX_B)
+        self.fused_decode = True
+        self.fused_decode_max_b = FUSED_DECODE_MAX_B
         # training compute dtype: None/'float32' or 'bfloat16' (mixed
         # precision: bf16 forward/backward, float32 masters)
         self.train_compute = None
@@ -480,15 +491,25 @@ class Sequence2Sequence:
         newline = self.mapping.get('\n')
         params = self._infer_params()
         if greedy:
-            # windowed-gather decoding is inherently window-based; a
-            # global-attention model (window_width 0) must stay on the
-            # dense decoder at every length
-            decode = (decode_greedy_windowed
-                      if T >= WINDOWED_DECODE_MIN_T
-                      and self.config.window_width > 0 else decode_greedy)
-            idx, prob, length, score, aligns = decode(
-                params, self.config, enc, newline,
-                return_alignments=return_alignments)
+            if (self.fused_decode and not return_alignments
+                    and self.mesh is None
+                    and enc.shape[0] <= self.fused_decode_max_b
+                    and fused_greedy_supported(params, self.config, T)):
+                # small-batch bf16 serving: the whole decode loop in one
+                # Pallas kernel, weights resident in VMEM across steps
+                idx, prob, length, score, aligns = decode_greedy_fused(
+                    params, self.config, enc, newline)
+            else:
+                # windowed-gather decoding is inherently window-based; a
+                # global-attention model (window_width 0) must stay on
+                # the dense decoder at every length
+                decode = (decode_greedy_windowed
+                          if T >= WINDOWED_DECODE_MIN_T
+                          and self.config.window_width > 0
+                          else decode_greedy)
+                idx, prob, length, score, aligns = decode(
+                    params, self.config, enc, newline,
+                    return_alignments=return_alignments)
             # pack the four result arrays into one device buffer so the
             # finish phase fetches once: each separate fetch pays a full
             # transport round trip (~30 ms on the tunneled TPU)

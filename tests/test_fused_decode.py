@@ -1,0 +1,118 @@
+"""Whole-loop fused Pallas greedy decode vs the XLA decoder.
+
+The fused kernel (ops/pallas_decode_loop.py) runs the ENTIRE decode
+loop — embedding, both decoder LSTMs, windowed additive attention,
+tied softmax readout, argmax/termination — inside one kernel launch
+with the weights VMEM-resident across characters (reference hot loop:
+one predict_on_batch per character, seq2seq.py:1243-1246). CPU tests
+run the kernel in interpreter mode; the TPU throughput/parity claims
+(2.8x at B=16, NOTES.md) are validated by tools/ + bench.py on the
+real chip.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cor_asv_ann_tpu.models.config import Seq2SeqConfig, init_params
+from cor_asv_ann_tpu.models import seq2seq
+from cor_asv_ann_tpu.ops import pallas_decode_loop as pdl
+from cor_asv_ann_tpu.utils.data import CharMapping, lines_to_index_batch
+
+
+def _tiny_model(mask_padding):
+    mapping = CharMapping.from_texts(["abcdefgh .,\n"])
+    config = Seq2SeqConfig(width=16, depth=2, voc_size=mapping.voc_size,
+                           mask_padding=mask_padding)
+    params = init_params(config, seed=11)
+    params = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if x.dtype == jnp.float32 else x, params)
+    return mapping, config, params
+
+
+@pytest.mark.parametrize('mask_padding', [False, True])
+def test_fused_matches_xla_interpret(mask_padding):
+    """Interpreter-mode kernel vs decode_greedy: same indices, lengths,
+    and close scores on a tiny random model (ties possible under a flat
+    random model are avoided by checking per-step chosen probabilities
+    instead of raw index equality when they differ)."""
+    mapping, config, params = _tiny_model(mask_padding)
+    lines = ["abba dig.\n", "hi.\n", "deaf bad cab.\n", "gag.\n"] * 4
+    enc = lines_to_index_batch(mapping, lines, pad_to=16, bucketed=False)
+    newline = mapping.get('\n')
+
+    idx_r, prob_r, len_r, score_r, _ = seq2seq.decode_greedy(
+        params, config, enc, newline)
+    idx_f, prob_f, len_f, score_f, aligns = pdl.decode_greedy_fused(
+        params, config, enc, newline, interpret=True)
+    assert aligns is None
+    idx_r, len_r = np.asarray(idx_r), np.asarray(len_r)
+    idx_f, len_f = np.asarray(idx_f), np.asarray(len_f)
+    prob_r = np.asarray(prob_r, np.float32)
+    prob_f = np.asarray(prob_f, np.float32)
+    for b in range(len(lines)):
+        L = int(len_r[b])
+        if int(len_f[b]) == L and np.array_equal(idx_r[b, :L],
+                                                 idx_f[b, :L]):
+            continue
+        # a random flat model can flip exact argmax ties between the
+        # two summation orders; require the chosen probabilities to
+        # match closely at every step up to the first divergence
+        Lm = min(L, int(len_f[b]))
+        np.testing.assert_allclose(prob_r[b, :Lm], prob_f[b, :Lm],
+                                   atol=2e-2)
+    np.testing.assert_allclose(np.asarray(score_r), np.asarray(score_f),
+                               atol=5e-2)
+
+
+def test_fused_supported_gate():
+    mapping, config, params = _tiny_model(False)
+    on_tpu = jax.default_backend() in ('tpu', 'axon')
+    assert pdl.fused_greedy_supported(params, config, 16) == on_tpu
+    # f32 weights exceed VMEM -> unsupported
+    params32 = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.float32), params)
+    assert not pdl.fused_greedy_supported(params32, config, 16)
+    # depth 3 unsupported
+    c3 = Seq2SeqConfig(width=16, depth=3, voc_size=config.voc_size)
+    assert not pdl.fused_greedy_supported(params, c3, 16)
+    # long lines unsupported (the tile no longer fits)
+    assert not pdl.fused_greedy_supported(params, config, 256)
+
+
+def test_api_dispatch_uses_fused_only_when_supported(monkeypatch):
+    """correct_lines routes small bf16 batches through the fused path
+    on TPU and never elsewhere (models/api.py dispatch gate)."""
+    from cor_asv_ann_tpu.models import api as api_mod
+    from cor_asv_ann_tpu.models.api import Sequence2Sequence
+    s2s = Sequence2Sequence()
+    s2s.width = 16
+    s2s.depth = 2
+    mapping, config, params = _tiny_model(False)
+    s2s.mapping = mapping
+    s2s.configure()
+    s2s.params = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.float32), params)
+    s2s.status = 2
+    calls = []
+    real = api_mod.decode_greedy_fused
+
+    def spy(*a, **k):
+        calls.append(1)
+        return real(*a, **k, interpret=jax.default_backend() == 'cpu')
+
+    monkeypatch.setattr(api_mod, 'decode_greedy_fused', spy)
+    lines = ["abba dig.\n", "hi.\n"]
+    out, _, _, _ = s2s.correct_lines(list(lines), fast=True, greedy=True,
+                                     return_alignments=False)
+    assert len(out) == 2
+    on_tpu = jax.default_backend() in ('tpu', 'axon')
+    # f32 compute -> never fused
+    assert not calls
+    s2s.compute = 'bfloat16'
+    out, _, _, _ = s2s.correct_lines(list(lines), fast=True, greedy=True,
+                                     return_alignments=False)
+    assert len(out) == 2
+    assert bool(calls) == on_tpu
