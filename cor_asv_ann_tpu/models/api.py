@@ -121,13 +121,16 @@ class Sequence2Sequence:
         self.beam_threshold_in = 0.2
         self.beam_width_out = 16
         # device-beam search bounds (None = auto, see _beam_params).
-        # The auto reservoir is tuned on confident models (flagship:
-        # 12/12 reference agreement at R=32); weakly trained models ride
-        # near-ties and need a deeper reservoir to match the reference's
-        # unbounded best-first queue — measured on the reference-trained
-        # w64 artifact: 27/48 byte-equal at R=32, 37/48 at R=64, 46/48
-        # at R=256 (tests/test_reference_artifact.py). Raise for
-        # fidelity-critical serving of low-confidence models.
+        # Auto bounds ADAPT to a cheap measured confidence signal (one
+        # cached greedy probe, `_model_confidence`): a confident model
+        # (flagship: 12/12 reference agreement at R=32) keeps the fast
+        # tuned bounds, while weakly trained models — which ride
+        # near-ties the fixed-shape reservoir would otherwise prune
+        # where the reference's unbounded best-first queue explores —
+        # get a deeper reservoir automatically (reference-trained w64
+        # artifact: 27/48 byte-equal at R=32 -> 46/48 at the adaptive
+        # R=256, tests/test_reference_artifact.py). Set explicitly to
+        # pin speed/fidelity for throughput-critical serving.
         self.beam_reservoir = None
         self.beam_expand = None
         # runtime
@@ -274,7 +277,7 @@ class Sequence2Sequence:
     # ------------------------------------------------------------------
     # inference
 
-    def _beam_params(self):
+    def _beam_params(self, confidence=None):
         # expand width 48: the tools/beam_ablation.py sweep (flagship,
         # B=256, serving settings, agreement judged against the
         # reference's own beam) found K=48 strictly better than the old
@@ -292,19 +295,65 @@ class Sequence2Sequence:
         # Higher rejection thresholds spawn longer rejection chains and
         # genuinely need the deeper reservoir (the r=0.5 golden set
         # diverges at R=32), so they keep 4*width_in.
+        #
+        # ADAPTIVE auto bounds (round 4): a weakly trained model rides
+        # near-ties constantly, so the fixed-shape reservoir prunes
+        # races the reference's unbounded best-first queue explores —
+        # agreement converges with R (reference-trained w64 artifact:
+        # 27/48 byte-equal at R=32 -> 37/48 at R=64 -> 46/48 at R=256,
+        # tests/test_reference_artifact.py). `confidence` is the
+        # geometric-mean greedy top-1 probability of the model on the
+        # actual inputs (exp(-mean length-normalized score), one cached
+        # cheap greedy probe, `_model_confidence`); measured signal:
+        # flagship 0.997, soak-w128 0.940, reference-trained artifact
+        # 0.809 — so >=0.95 keeps the tuned fast bounds, the mid tier
+        # doubles the reservoir, and low-confidence models get the
+        # deep-fidelity bounds (R=256, K=96) that measured 46/48.
         deep = self.rejection_threshold > 0.3
+        if confidence is None or confidence >= 0.95:
+            auto_r = max((4 if deep else 2) * self.beam_width_in,
+                         64 if deep else 32)
+            auto_k = 48
+        elif confidence >= 0.85:
+            auto_r = max(4 * self.beam_width_in, 128 if deep else 64)
+            auto_k = 48
+        else:
+            auto_r, auto_k = 256, 96
         return BeamParams(
             reservoir=int(self.beam_reservoir
-                          if self.beam_reservoir is not None
-                          else max((4 if deep else 2) * self.beam_width_in,
-                                   64 if deep else 32)),
+                          if self.beam_reservoir is not None else auto_r),
             expand=int(self.beam_expand
-                       if self.beam_expand is not None else 48),
+                       if self.beam_expand is not None else auto_k),
             beam_width_in=int(self.beam_width_in),
             beam_threshold_in=float(self.beam_threshold_in),
             beam_width_out=int(self.beam_width_out),
             rejection_threshold=float(self.rejection_threshold),
             lm_predict=bool(self.lm_predict))
+
+    # probe at most this many lines for the confidence signal (greedy
+    # decode is ~100x cheaper than beam, so the probe is noise in the
+    # beam budget even when the cache misses)
+    _CONF_PROBE_B = 32
+
+    def _model_confidence(self, params, enc, newline):
+        """Geometric-mean greedy top-1 probability of this model on (a
+        probe slice of) the actual encoder batch — the cheap confidence
+        signal driving the adaptive auto beam bounds. Cached per
+        parameter set (invalidated whenever self.params is rebound:
+        load_weights/train)."""
+        cached = getattr(self, '_conf_cache', None)
+        if cached is not None and cached[0] is self.params:
+            return cached[1]
+        probe = enc[:self._CONF_PROBE_B]
+        _, _, length, score, _ = decode_greedy(
+            params, self.config, probe, newline, return_alignments=False)
+        length = np.asarray(length)
+        score = np.asarray(score)
+        live = length > 0
+        conf = float(np.exp(-np.mean(score[live]))) if live.any() else 1.0
+        self._conf_cache = (self.params, conf)
+        self.logger.debug('model confidence probe: %.4f', conf)
+        return conf
 
     def correct_lines(self, lines, conf=None, fast=True, greedy=True,
                       return_alignments=True):
@@ -521,7 +570,12 @@ class Sequence2Sequence:
             [self._source_length(l, c)
              for l, c in zip(lines, conf or [None] * len(lines))],
             np.int32)
-        out = decode_beam(params, self.config, self._beam_params(),
+        # adaptive auto bounds: only probe when an auto bound is in play
+        confidence = (self._model_confidence(params, enc, newline)
+                      if self.beam_reservoir is None
+                      or self.beam_expand is None else None)
+        out = decode_beam(params, self.config,
+                          self._beam_params(confidence),
                           enc, newline, src_len,
                           return_alignments=return_alignments)
         # pack into two device buffers -> two host fetches instead of
