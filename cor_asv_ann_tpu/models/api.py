@@ -45,6 +45,23 @@ from ..ops.pallas_decode_loop import (FUSED_DECODE_MAX_B,
 WINDOWED_DECODE_MIN_T = 128
 
 
+def _pick_fused_bound(ratios, floor=16):
+    """Choose the fused-decode dispatch bound from measured fused/XLA
+    throughput ratios per batch size: the largest batch such that every
+    measured batch up to it won (ratio >= 1.0) — the dispatched regime
+    is then >=1.0x by construction on the measuring device. Batches
+    below `floor` are assumed winning even if unmeasured (the B<=16 win
+    is stable across sessions, NOTES.md)."""
+    best = floor
+    for b in sorted(ratios):
+        if ratios[b] >= 1.0:
+            if b > best:
+                best = b
+        elif b > floor:
+            break
+    return best
+
+
 def _pack_results(idx, prob, length, score):
     """Concatenate the greedy-decode result arrays into one (B, 2S+2)
     float32 buffer on device so the host fetches once instead of four
@@ -500,6 +517,69 @@ class Sequence2Sequence:
         self._infer_cache = ((self.params, self.compute, self.mesh),
                              params)
         return params
+
+    def autotune_fused_decode(self, batches=(16, 32, 64), repeats=8,
+                              t=64):
+        """Measure fused vs XLA greedy decode on the LIVE device and set
+        ``fused_decode_max_b`` to the largest batch size whose measured
+        regime wins end-to-end — so the dispatched fused regime is
+        >=1.0x by construction on this device/session rather than a
+        hardcoded bound (the B<=16 default is the only regime that wins
+        reliably across sessions on unstable transports; calmer devices
+        measure wins up to B=64, bench.py fused_smallbatch_B64).
+
+        Uses the chained-timing protocol (inputs pinned, iterations
+        chained through a 0-valued data dependency, one final fetch —
+        see bench.py for why block_until_ready timing lies on remote
+        transports). Costs a few seconds; intended for serving setup
+        (scripts/proc.py --autotune-fused) or bench harnesses.
+
+        Returns {'ratios': {B: fused/xla}, 'chosen': max_b} or None when
+        the fused path is unsupported (non-TPU backend, f32 compute,
+        unsupported topology)."""
+        import time as _time
+        import jax
+        import jax.numpy as jnp
+        if self.compute != 'bfloat16':
+            return None
+        params = self._infer_params()
+        if not fused_greedy_supported(params, self.config, t):
+            return None
+        newline = self.mapping.get('\n')
+        V = self.voc_size
+        rng = np.random.default_rng(11)
+
+        def timed(fn, enc):
+            out = fn(enc)
+            np.asarray(out[3])          # compile + warm
+            e = enc
+            for _ in range(2):          # throwaway: chain-op compiles
+                out = fn(e)
+                e = enc + (out[3][0] * 0).astype(enc.dtype)
+            np.asarray(out[3])
+            t0 = _time.perf_counter()
+            e = enc
+            for _ in range(repeats):
+                out = fn(e)
+                e = enc + (out[3][0] * 0).astype(enc.dtype)
+            np.asarray(out[3])
+            return _time.perf_counter() - t0
+
+        ratios = {}
+        for b in batches:
+            idx = rng.integers(1, V, size=(b, t)).astype(np.int32)
+            enc = jax.device_put(jnp.asarray(idx))
+            dt_xla = timed(
+                lambda e: decode_greedy(params, self.config, e, newline,
+                                        return_alignments=False), enc)
+            dt_fused = timed(
+                lambda e: decode_greedy_fused(params, self.config, e,
+                                              newline), enc)
+            ratios[int(b)] = round(dt_xla / dt_fused, 3)
+        self.fused_decode_max_b = _pick_fused_bound(ratios)
+        result = {'ratios': ratios, 'chosen': self.fused_decode_max_b}
+        self.logger.info('fused-decode autotune: %s', result)
+        return result
 
     def _place_batch(self, enc):
         """Put a host batch onto the serving mesh, sharded over 'data'

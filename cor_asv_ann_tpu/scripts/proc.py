@@ -41,7 +41,12 @@ CONTEXT_SETTINGS = dict(help_option_names=['-h', '--help'])
               type=click.Choice(['float32', 'bfloat16']),
               help='inference compute dtype (bfloat16: ~3x throughput, '
                    'tiny CER impact; float32: exact reference numerics)')
-def cli(load_model, fast, rejection, charmap, old_suffix, new_suffix, data, profile, profile_file, jax_trace, mesh_devices, compute):
+@click.option('--autotune-fused', is_flag=True,
+              help='measure fused vs XLA decode on the live device at '
+                   'serving start and set the fused dispatch bound to '
+                   'the largest winning batch size (bfloat16 only; '
+                   'costs a few seconds once)')
+def cli(load_model, fast, rejection, charmap, old_suffix, new_suffix, data, profile, profile_file, jax_trace, mesh_devices, compute, autotune_fused):
     """Apply a correction model on GT or text files.
 
     Load a sequence-to-sequence model from the given path. Then open the
@@ -73,6 +78,10 @@ def cli(load_model, fast, rejection, charmap, old_suffix, new_suffix, data, prof
     s2s.load_weights(load_model)
     s2s.rejection_threshold = rejection
     s2s.compute = compute
+    if autotune_fused:
+        tuned = s2s.autotune_fused_decode()
+        if tuned is None:
+            logging.info('fused decode unsupported here; autotune skipped')
     if mesh_devices:
         mesh = s2s.use_mesh(
             n_devices=None if mesh_devices < 0 else mesh_devices)

@@ -78,8 +78,79 @@ def test_fused_supported_gate():
     # depth 3 unsupported
     c3 = Seq2SeqConfig(width=16, depth=3, voc_size=config.voc_size)
     assert not pdl.fused_greedy_supported(params, c3, 16)
-    # long lines unsupported (the tile no longer fits)
-    assert not pdl.fused_greedy_supported(params, config, 256)
+    # the tile-fit limit is a property of _tile_rows, not the backend
+    # gate (a w16 model fits even T=256 tiles): at flagship scale the
+    # attended/u residency exceeds VMEM and no 8-row tile fits
+    assert pdl._tile_rows(4096, 512, config.voc_size) < 8
+    assert pdl._tile_rows(64, 512, config.voc_size) >= 8
+    # and the supported gate must track the tile fit on any backend
+    assert pdl.fused_greedy_supported(params, config, 256) == (
+        on_tpu and pdl._tile_rows(256, 16, config.voc_size) >= 8)
+
+
+def test_pick_fused_bound():
+    """The autotune bound is the largest batch with a contiguous
+    measured win; losses above the floor stop the search; the B<=16
+    floor holds even without measurements (models/api.py)."""
+    from cor_asv_ann_tpu.models.api import _pick_fused_bound
+    assert _pick_fused_bound({16: 1.2, 32: 1.1, 64: 1.15}) == 64
+    assert _pick_fused_bound({16: 1.2, 32: 0.9, 64: 1.15}) == 16
+    assert _pick_fused_bound({16: 1.2, 32: 1.05, 64: 0.8}) == 32
+    assert _pick_fused_bound({}) == 16
+    assert _pick_fused_bound({64: 0.5}) == 16
+
+
+def test_autotune_unsupported_returns_none():
+    """autotune_fused_decode declines gracefully off-TPU / at f32."""
+    from cor_asv_ann_tpu.models.api import Sequence2Sequence
+    mapping, config, params = _tiny_model(False)
+    s2s = Sequence2Sequence()
+    s2s.width, s2s.depth = 16, 2
+    s2s.mapping = mapping
+    s2s.configure()
+    s2s.params = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.float32), params)
+    s2s.status = 2
+    assert s2s.autotune_fused_decode() is None  # f32 compute
+    if jax.default_backend() not in ('tpu', 'axon'):
+        s2s.compute = 'bfloat16'
+        assert s2s.autotune_fused_decode() is None  # CPU backend gate
+
+
+@pytest.mark.skipif(jax.default_backend() not in ('tpu', 'axon'),
+                    reason='real-TPU parity test (CORASVANN_TEST_TPU=1)')
+def test_fused_golden_byte_parity_tpu():
+    """On real TPU hardware the dispatched fused path must byte-match
+    the XLA decoder on the golden corpus at the dispatch regime
+    (bf16, B<=FUSED_DECODE_MAX_B). Guards the fused_decode=True default
+    (models/api.py) with actual-hardware numerics rather than the
+    interpreter-mode tolerance fallback."""
+    import json
+    import os
+    models_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), 'testmodels')
+    flagship = os.path.join(models_dir, 'flagship.d2.w512.synthetic.h5')
+    golden_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               'golden_corpus.json')
+    if not (os.path.exists(flagship) and os.path.exists(golden_path)):
+        pytest.skip('flagship/golden fixture missing')
+    from cor_asv_ann_tpu.models.api import Sequence2Sequence
+    s2s = Sequence2Sequence()
+    s2s.load_config(flagship)
+    s2s.configure()
+    s2s.load_weights(flagship)
+    s2s.compute = 'bfloat16'
+    with open(golden_path) as f:
+        inputs = json.load(f)['inputs']['plain'][:s2s.fused_decode_max_b]
+    s2s.fused_decode = True
+    out_fused, _, sc_fused, _ = s2s.correct_lines(
+        list(inputs), fast=True, greedy=True, return_alignments=False)
+    s2s.fused_decode = False
+    out_xla, _, sc_xla, _ = s2s.correct_lines(
+        list(inputs), fast=True, greedy=True, return_alignments=False)
+    assert out_fused == out_xla, [
+        (a, b) for a, b in zip(out_fused, out_xla) if a != b]
+    np.testing.assert_allclose(sc_fused, sc_xla, atol=2e-3)
 
 
 def test_api_dispatch_uses_fused_only_when_supported(monkeypatch):
