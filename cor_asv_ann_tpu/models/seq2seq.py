@@ -40,6 +40,15 @@ _TEACHER_UNROLL = 4
 # fwd+bwd-only 12% faster but whole-train-step neutral (NOTES.md), so
 # the memory-lean default stays.
 _TEACHER_REMAT_POLICY = None
+# Teacher-forced attention mode: 'auto' uses the windowed carry
+# (aw/astart via _windowed_attention — only the ±window_width visible
+# rows are read and tanh'd, mathematically identical to the dense
+# masked energies since everything else is -inf-masked anyway) whenever
+# the model has a local window and the line is long enough for the
+# saving to beat the gather overhead; 'dense' forces the full-T
+# energies (reference-shaped path); 'windowed' forces the carry.
+_TEACHER_ATTENTION = 'auto'
+_TEACHER_WINDOWED_MIN_T = 48
 # Decode steps per while-loop iteration in decode_greedy (loop-overhead
 # amortization; >1 trades at most that many gated extra steps per batch)
 _DECODE_UNROLL = 1
@@ -268,11 +277,7 @@ def _decode_teacher(params, config, dec_input, states, attended, u,
     else:
         masks = None
 
-    def body(carry, x_t):
-        h, c, a = carry
-        ctx, a_new = attention_step(top['W_a'], top['v_a'], top['b_UW'],
-                                    top['b_v'], h, a, attended, u,
-                                    config.window_width, mask=enc_mask)
+    def cell_update(x_t, ctx, h, c):
         cell_in = jnp.concatenate([x_t, ctx], axis=-1)
         if masks is not None:
             kdt = top['cell']['kernel'].dtype
@@ -289,9 +294,38 @@ def _decode_teacher(params, config, dec_input, states, attended, u,
             z = mm(cell_in, top['cell']['kernel']) \
                 + mm(h, top['cell']['recurrent_kernel']) \
                 + top['cell']['bias']
-        h_new, c_new = gate_math(z, c)
+        return gate_math(z, c)
+
+    def body(carry, x_t):
+        h, c, a = carry
+        ctx, a_new = attention_step(top['W_a'], top['v_a'], top['b_UW'],
+                                    top['b_v'], h, a, attended, u,
+                                    config.window_width, mask=enc_mask)
+        h_new, c_new = cell_update(x_t, ctx, h, c)
         return (h_new, c_new, a_new), h_new
 
+    def body_windowed(carry, x_t):
+        # windowed attention carry: only the WIN visible rows of u /
+        # attended are gathered and tanh'd per step — the dense path
+        # computes the (B, T, W) energy tanh and then masks everything
+        # outside the ±window_width window to -inf anyway, so forward
+        # AND backward (the masked rows have exactly zero gradient) are
+        # mathematically identical while the dominant per-step
+        # elementwise/traffic cost drops T/WIN-fold (the training-side
+        # twin of decode_greedy_windowed; _windowed_attention docstring)
+        h, c, aw, astart = carry
+        ctx, aw_new, astart_new = _windowed_attention(
+            top, h, aw, astart, attended, u, config.window_width,
+            SHARED_WINDOW, enc_mask=enc_mask)
+        h_new, c_new = cell_update(x_t, ctx, h, c)
+        return (h_new, c_new, aw_new, astart_new), h_new
+
+    T_enc = attended.shape[1]
+    WIN = min(2 * config.window_width + 2, T_enc)
+    use_windowed = (config.window_width > 0
+                    and _TEACHER_ATTENTION != 'dense'
+                    and (_TEACHER_ATTENTION == 'windowed'
+                         or T_enc >= _TEACHER_WINDOWED_MIN_T))
     xs = jnp.swapaxes(out, 0, 1)
     # rematerialize the step in the backward pass: without this, autodiff
     # saves the (B, T, W) attention-energy tanh for every decoder step —
@@ -299,9 +333,16 @@ def _decode_teacher(params, config, dec_input, states, attended, u,
     # chip. The policy keeps the small per-step matmul outputs ((B, 4W)
     # gates etc., ~200MB over Td=128) so the backward recomputes only
     # the elementwise attention energy, not the LSTM matmuls.
-    ckpt = (jax.checkpoint(body, policy=_TEACHER_REMAT_POLICY)
-            if _TEACHER_REMAT_POLICY is not None else jax.checkpoint(body))
-    _, hs = jax.lax.scan(ckpt, (h0, c0, a0), xs,
+    if use_windowed:
+        fn = body_windowed
+        carry0 = (h0, c0, jnp.zeros((B, WIN), attended.dtype),
+                  jnp.zeros((B,), jnp.int32))
+    else:
+        fn = body
+        carry0 = (h0, c0, a0)
+    ckpt = (jax.checkpoint(fn, policy=_TEACHER_REMAT_POLICY)
+            if _TEACHER_REMAT_POLICY is not None else jax.checkpoint(fn))
+    _, hs = jax.lax.scan(ckpt, carry0, xs,
                          unroll=_TEACHER_UNROLL)
     out2 = jnp.swapaxes(hs, 0, 1)
     if config.residual_connections and depth > 1:
