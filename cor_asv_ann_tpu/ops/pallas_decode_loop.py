@@ -158,7 +158,11 @@ def _kernel(enc_att_ref, enc_u_ref, h1_ref, c1_ref, h2_ref, c2_ref,
                       keepdims=True) + 1.0)                  # (bt, 1)
         keep = (jnp.abs(t0 - steps_f) <= float(ww)) & (mask_ref[:] > 0)
         s_en = jnp.where(keep, s_en, -1e30)
-        a = jax.nn.softmax(s_en, axis=1).astype(wdt)         # (bt, T)
+        a = jax.nn.softmax(s_en, axis=1)                     # (bt, T)
+        # all-masked rows get ZERO alignment (t0 resets to 1), matching
+        # _attention_step (attention.py) — not the uniform alignment a
+        # softmax over uniform -1e30 would yield (t0 would jump to ~T/2)
+        a = (a * jnp.any(keep, axis=1, keepdims=True)).astype(wdt)
         ctx = jnp.sum(a.astype(f32)[..., None] * att.astype(f32),
                       axis=1)                                # (bt, W) f32
         # --- top attention cell (decoder_top_cell) --------------------
