@@ -52,6 +52,30 @@ _TEACHER_WINDOWED_MIN_T = 48
 # Decode steps per while-loop iteration in decode_greedy (loop-overhead
 # amortization; >1 trades at most that many gated extra steps per batch)
 _DECODE_UNROLL = 1
+# Whole-sequence fused Pallas LSTM scan for the TRAINING path
+# (ops/pallas_lstm_train.py): 'auto' adopts it on TPU at aligned shapes
+# (fused_scan_supported), 'on'/'off' force ('on' uses interpreter mode
+# off-TPU, for tests). Training-only so the serving decode paths stay
+# byte-stable against the golden corpus. Default pending the on-device
+# measurement (adoption here is measurement-driven, NOTES.md).
+_FUSED_TRAIN_SCAN = 'off'
+
+
+def _train_scan(xs, w, h0=None, c0=None, reverse=False, mask=None):
+    """lstm_scan for training-path sequence recurrences: dispatches to
+    the fused whole-sequence Pallas kernel (weights VMEM-resident across
+    all T steps) when supported, else the XLA scan."""
+    if mask is None and _FUSED_TRAIN_SCAN != 'off':
+        from ..ops.pallas_lstm_train import (lstm_scan_fused,
+                                             fused_scan_supported)
+        if _FUSED_TRAIN_SCAN == 'on':
+            on_tpu = jax.default_backend() in ('tpu', 'axon')
+            return lstm_scan_fused(xs, w, h0, c0, reverse=reverse,
+                                   interpret=not on_tpu)
+        if fused_scan_supported(w, xs.shape[0],
+                                w['recurrent_kernel'].shape[0]):
+            return lstm_scan_fused(xs, w, h0, c0, reverse=reverse)
+    return lstm_scan(xs, w, h0, c0, reverse=reverse, mask=mask)
 
 
 def cross_sum(x):
@@ -92,17 +116,18 @@ def encode(params, config: Seq2SeqConfig, enc_input, dropout_rng=None,
     x = mm(enc_input, params['char_embedding']['kernel'])
     out = x
     states = []
+    scan = _train_scan if train else lstm_scan
     for n in range(depth):
         lw = params['encoder'][n]
         if n == 0 or deep:
             inp = out if n == 0 else cross_sum(out)
-            fw_out, _fh, _fc = lstm_scan(inp, lw['fw'], mask=mask)
-            bw_out, h, c = lstm_scan(inp, lw['bw'], reverse=True,
-                                     mask=mask)
+            fw_out, _fh, _fc = scan(inp, lw['fw'], mask=mask)
+            bw_out, h, c = scan(inp, lw['bw'], reverse=True,
+                                mask=mask)
             out2 = jnp.concatenate([fw_out, bw_out], axis=-1)
             out = out2
         else:
-            out2, h, c = lstm_scan(out, lw, mask=mask)
+            out2, h, c = scan(out, lw, mask=mask)
             if config.residual_connections and n >= 2:
                 out = out2 + out
             else:
@@ -250,10 +275,11 @@ def _decode_teacher(params, config, dec_input, states, attended, u,
     x = mm(dec_input, params['char_embedding']['kernel'])
     out = x
     # plain lower decoder layers: full scan with hoisted input projection
+    scan = _train_scan if train else lstm_scan
     for n in range(depth - 1):
         lw = params['decoder'][n]
         h0, c0 = states[n]
-        out2, _, _ = lstm_scan(out, lw, h0, c0)
+        out2, _, _ = scan(out, lw, h0, c0)
         if config.residual_connections and n > 0:
             out = out2 + out
         else:

@@ -1,0 +1,186 @@
+"""Fused whole-sequence Pallas LSTM scan vs the XLA `lax.scan` path.
+
+ops/pallas_lstm_train.py runs the entire recurrence (all T steps) in one
+kernel launch with the recurrent kernel VMEM-resident, differentiable via
+custom_vjp (reverse-sweep backward kernel). CPU tests run interpreter
+mode; the TPU adoption decision is measurement-driven (NOTES.md).
+Reference semantics: the CuDNN fused LSTM the reference auto-selects
+(lib/seq2seq.py:216-232, SURVEY.md 2.9).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cor_asv_ann_tpu.ops.lstm import lstm_scan
+from cor_asv_ann_tpu.ops.pallas_lstm_train import lstm_scan_fused
+
+
+def _weights(rng, d, n, dtype=np.float32):
+    return {
+        'kernel': jnp.asarray(
+            rng.standard_normal((d, 4 * n)).astype(dtype) * 0.3),
+        'recurrent_kernel': jnp.asarray(
+            rng.standard_normal((n, 4 * n)).astype(dtype) * 0.3),
+        'bias': jnp.asarray(rng.standard_normal(4 * n).astype(dtype) * 0.1),
+    }
+
+
+@pytest.mark.parametrize('reverse', [False, True])
+@pytest.mark.parametrize('with_init', [False, True])
+def test_forward_matches_xla(reverse, with_init):
+    rng = np.random.default_rng(3)
+    B, T, D, N = 6, 7, 8, 8
+    w = _weights(rng, D, N)
+    xs = jnp.asarray(rng.standard_normal((B, T, D)).astype(np.float32))
+    h0 = (jnp.asarray(rng.standard_normal((B, N)).astype(np.float32) * .2)
+          if with_init else None)
+    c0 = (jnp.asarray(rng.standard_normal((B, N)).astype(np.float32) * .2)
+          if with_init else None)
+    out_r, h_r, c_r = lstm_scan(xs, w, h0, c0, reverse=reverse)
+    out_f, h_f, c_f = lstm_scan_fused(xs, w, h0, c0, reverse=reverse,
+                                      interpret=True)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_r),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(h_f), np.asarray(h_r),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(c_f), np.asarray(c_r),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_forward_padded_batch_tiles():
+    """B not a multiple of block_b exercises the pad/unpad path."""
+    rng = np.random.default_rng(5)
+    B, T, D, N = 6, 5, 8, 8
+    w = _weights(rng, D, N)
+    xs = jnp.asarray(rng.standard_normal((B, T, D)).astype(np.float32))
+    out_r, h_r, c_r = lstm_scan(xs, w)
+    out_f, h_f, c_f = lstm_scan_fused(xs, w, interpret=True, block_b=4)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_r),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(h_f), np.asarray(h_r),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_forward_bf16():
+    rng = np.random.default_rng(7)
+    B, T, D, N = 4, 6, 8, 8
+    w = {k: v.astype(jnp.bfloat16)
+         for k, v in _weights(rng, D, N).items()}
+    xs = jnp.asarray(
+        rng.standard_normal((B, T, D)).astype(np.float32)).astype(
+            jnp.bfloat16)
+    out_r, h_r, c_r = lstm_scan(xs, w)
+    out_f, h_f, c_f = lstm_scan_fused(xs, w, interpret=True)
+    assert out_f.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(out_f, np.float32),
+                               np.asarray(out_r, np.float32),
+                               rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize('reverse', [False, True])
+def test_gradients_match_xla(reverse):
+    """custom_vjp backward vs XLA autodiff through lax.scan: gradients
+    wrt inputs, all three weight tensors, and the initial states."""
+    rng = np.random.default_rng(11)
+    B, T, D, N = 5, 6, 8, 8
+    w = _weights(rng, D, N)
+    xs = jnp.asarray(rng.standard_normal((B, T, D)).astype(np.float32))
+    h0 = jnp.asarray(rng.standard_normal((B, N)).astype(np.float32) * .2)
+    c0 = jnp.asarray(rng.standard_normal((B, N)).astype(np.float32) * .2)
+    # weight the loss so output-sequence, final-h and final-c cotangents
+    # are all distinct and nonzero
+    wo = jnp.asarray(rng.standard_normal((B, T, N)).astype(np.float32))
+    wh = jnp.asarray(rng.standard_normal((B, N)).astype(np.float32))
+    wc = jnp.asarray(rng.standard_normal((B, N)).astype(np.float32))
+
+    def loss(fn):
+        def f(xs, w, h0, c0):
+            out, h, c = fn(xs, w, h0, c0)
+            return (jnp.sum(out * wo) + jnp.sum(h * wh)
+                    + jnp.sum(c * wc))
+        return f
+
+    ref = jax.grad(loss(lambda *a: lstm_scan(*a, reverse=reverse)),
+                   argnums=(0, 1, 2, 3))(xs, w, h0, c0)
+    fus = jax.grad(loss(lambda *a: lstm_scan_fused(
+        *a, reverse=reverse, interpret=True)),
+        argnums=(0, 1, 2, 3))(xs, w, h0, c0)
+    for r, f in zip(jax.tree_util.tree_leaves(ref),
+                    jax.tree_util.tree_leaves(fus)):
+        np.testing.assert_allclose(np.asarray(f), np.asarray(r),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_gradients_padded_batch_tiles():
+    rng = np.random.default_rng(13)
+    B, T, D, N = 6, 4, 8, 8
+    w = _weights(rng, D, N)
+    xs = jnp.asarray(rng.standard_normal((B, T, D)).astype(np.float32))
+
+    def loss(fn):
+        def f(xs, w):
+            out, h, c = fn(xs, w)
+            return jnp.sum(out * out) + jnp.sum(h) + jnp.sum(c * c)
+        return f
+
+    ref = jax.grad(loss(lstm_scan), argnums=(0, 1))(xs, w)
+    fus = jax.grad(loss(lambda xs, w: lstm_scan_fused(
+        xs, w, interpret=True, block_b=4)), argnums=(0, 1))(xs, w)
+    for r, f in zip(jax.tree_util.tree_leaves(ref),
+                    jax.tree_util.tree_leaves(fus)):
+        np.testing.assert_allclose(np.asarray(f), np.asarray(r),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_train_step_with_fused_scan(monkeypatch):
+    """Full train_step with the fused scan forced on (interpreter mode
+    off-TPU): per-step losses track the XLA-scan path closely across
+    several optimizer steps — the gradients driving the update agree."""
+    from cor_asv_ann_tpu.models import seq2seq as S
+    from cor_asv_ann_tpu.models import train as T
+    from cor_asv_ann_tpu.models.config import Seq2SeqConfig, init_params
+
+    rng = np.random.default_rng(23)
+    B, Te, V = 4, 6, 14
+    config = Seq2SeqConfig(width=8, depth=2, voc_size=V)
+    params = init_params(config, seed=9)
+    idx = rng.integers(1, V, size=(B, Te))
+    enc = np.zeros((B, Te, V), np.float32)
+    enc[np.arange(B)[:, None], np.arange(Te)[None, :], idx] = 1.0
+    dec_in = np.zeros((B, Te + 1, V), np.float32)
+    dec_in[:, 1:] = enc
+    dec_out = np.concatenate([enc, np.zeros((B, 1, V), np.float32)], 1)
+    weights = (dec_out.sum(-1) > 0).astype(np.float32)
+    opt = T.make_optimizer(1e-3)
+    key = jax.random.PRNGKey(0)
+
+    def run(mode):
+        monkeypatch.setattr(S, '_FUSED_TRAIN_SCAN', mode)
+        jax.clear_caches()
+        p = jax.tree_util.tree_map(jnp.asarray, params)
+        st = opt.init(p)
+        losses = []
+        for _ in range(3):
+            p, st, loss = T.train_step(p, st, config, enc, dec_in,
+                                       dec_out, weights, key,
+                                       lm_loss=False, optimizer=opt)
+            losses.append(float(loss))
+        return losses
+
+    ref = run('off')
+    fus = run('on')
+    np.testing.assert_allclose(fus, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_supported_gate():
+    rng = np.random.default_rng(17)
+    from cor_asv_ann_tpu.ops.pallas_lstm_train import fused_scan_supported
+    w = _weights(rng, 512, 512)
+    wb = {k: v.astype(jnp.bfloat16) for k, v in w.items()}
+    on_tpu = jax.default_backend() in ('tpu', 'axon')
+    # aligned flagship shape: supported exactly on TPU
+    assert fused_scan_supported(wb, 256, 512) == on_tpu
+    # unaligned width never supported
+    assert not fused_scan_supported(wb, 256, 96)
