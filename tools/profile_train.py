@@ -144,6 +144,62 @@ def main():
         return s, s
     res['lower_scan_fwdbwd'] = chained_time(lower_bwd, x_low, steps, float)
 
+    # --- fused whole-sequence Pallas scan A/B (same shapes as above) ----
+    from cor_asv_ann_tpu.ops.pallas_lstm_train import (lstm_scan_fused,
+                                                       fused_scan_supported)
+    if fused_scan_supported(pb['decoder'][0], batch, W):
+        @jax.jit
+        def lower_fused_fwd(x):
+            out, hT, cT = lstm_scan_fused(x, pb['decoder'][0],
+                                          jnp.zeros((batch, W), jnp.bfloat16),
+                                          jnp.zeros((batch, W), jnp.bfloat16))
+            s = jnp.sum(out.astype(jnp.float32))
+            return s, s
+        res['lower_scan_fused_fwd'] = chained_time(lower_fused_fwd, x_low,
+                                                   steps, float)
+
+        @jax.jit
+        def lower_fused_bwd(x):
+            def f(p):
+                out, _, _ = lstm_scan_fused(
+                    x, p['decoder'][0],
+                    jnp.zeros((batch, W), jnp.bfloat16),
+                    jnp.zeros((batch, W), jnp.bfloat16))
+                return jnp.sum(out.astype(jnp.float32))
+            s, g = jax.value_and_grad(f)(pb)
+            return s, s
+        res['lower_scan_fused_fwdbwd'] = chained_time(lower_fused_bwd,
+                                                      x_low, steps, float)
+
+        @jax.jit
+        def lower_xla_fwd(x):
+            out, hT, cT = lstm_scan(x, pb['decoder'][0],
+                                    jnp.zeros((batch, W), jnp.bfloat16),
+                                    jnp.zeros((batch, W), jnp.bfloat16))
+            s = jnp.sum(out.astype(jnp.float32))
+            return s, s
+        res['lower_scan_xla_fwd'] = chained_time(lower_xla_fwd, x_low,
+                                                 steps, float)
+
+        # full train step with the fused scan adopted. The flag is read
+        # at TRACE time, so the compile cache from the earlier full_step
+        # timing must be dropped or the same program would be reused.
+        jax.clear_caches()
+        old_flag = S._FUSED_TRAIN_SCAN
+        S._FUSED_TRAIN_SCAN = 'on'
+        try:
+            def full_step_fused(e):
+                p2, _, loss = T.train_step(p32, opt_state, config, e,
+                                           din_d, dout_d, w_d, key,
+                                           lm_loss=False, optimizer=opt,
+                                           compute_dtype='bfloat16')
+                return loss, loss
+            res['full_step_fused_scan'] = chained_time(
+                full_step_fused, enc_d, steps, float)
+        finally:
+            S._FUSED_TRAIN_SCAN = old_flag
+            jax.clear_caches()
+
     # --- teacher-forced top attention scan ------------------------------
     att_in = jax.device_put(rng.standard_normal(
         (batch, t_enc, W)).astype(np.float32) * .1).astype(jnp.bfloat16)
