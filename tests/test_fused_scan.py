@@ -184,3 +184,39 @@ def test_supported_gate():
     assert fused_scan_supported(wb, 256, 512) == on_tpu
     # unaligned width never supported
     assert not fused_scan_supported(wb, 256, 96)
+
+
+@pytest.mark.skipif(jax.default_backend() not in ('tpu', 'axon'),
+                    reason='real-TPU parity test (CORASVANN_TEST_TPU=1)')
+def test_fused_scan_parity_tpu():
+    """Compiled Mosaic kernel (not interpreter) vs the XLA scan at the
+    flagship width on real hardware: forward close in bf16 and gradient
+    direction preserved. Guards the _FUSED_TRAIN_SCAN='auto' adoption
+    with actual-hardware numerics."""
+    rng = np.random.default_rng(29)
+    B, T, D, N = 32, 24, 512, 512
+    w = {k: v.astype(jnp.bfloat16)
+         for k, v in _weights(rng, D, N).items()}
+    xs = jnp.asarray(rng.standard_normal((B, T, D)).astype(
+        np.float32) * 0.3).astype(jnp.bfloat16)
+
+    def loss(fn):
+        def f(xs, w):
+            out, h, c = fn(xs, w)
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+        return f
+
+    out_r, h_r, c_r = lstm_scan(xs, w)
+    out_f, h_f, c_f = lstm_scan_fused(xs, w)
+    np.testing.assert_allclose(np.asarray(out_f, np.float32),
+                               np.asarray(out_r, np.float32),
+                               rtol=3e-2, atol=3e-2)
+    g_r = jax.grad(loss(lstm_scan), argnums=1)(xs, w)
+    g_f = jax.grad(loss(lstm_scan_fused), argnums=1)(xs, w)
+    for k in w:
+        a = np.asarray(g_r[k], np.float32).ravel()
+        b = np.asarray(g_f[k], np.float32).ravel()
+        denom = np.linalg.norm(a) * np.linalg.norm(b)
+        assert denom > 0
+        cos = float(np.dot(a, b) / denom)
+        assert cos > 0.999, (k, cos)
