@@ -319,6 +319,12 @@ def fused_scan_supported(w, batch, width):
     dt = w['recurrent_kernel'].dtype
     if jax.default_backend() not in ('tpu', 'axon'):
         return False
+    if jax.device_count() > 1:
+        # under the GSPMD mesh (parallel/mesh.py) a pallas_call has no
+        # partitioning rule — XLA would gather operands to one device;
+        # multi-chip training keeps the XLA scan until the kernel gets a
+        # shard_map wrapper
+        return False
     if width % 128 != 0:
         return False
     # weights + two pipeline slots of the streamed blocks must fit VMEM
