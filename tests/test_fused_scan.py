@@ -190,15 +190,24 @@ def test_supported_gate():
                     reason='real-TPU parity test (CORASVANN_TEST_TPU=1)')
 def test_fused_scan_parity_tpu():
     """Compiled Mosaic kernel (not interpreter) vs the XLA scan at the
-    flagship width on real hardware: forward close in bf16 and gradient
-    direction preserved. Guards the _FUSED_TRAIN_SCAN='auto' adoption
-    with actual-hardware numerics."""
+    flagship width on real hardware. Guards the _FUSED_TRAIN_SCAN
+    adoption with actual-hardware numerics.
+
+    f32: forward byte-identical (measured maxdiff 0.0 on the v5e —
+    both paths accumulate matmuls in f32 and the kernel's manual
+    logistic matches XLA's, see ops/pallas_lstm.py). Gradients agree to
+    cosine >= 0.9999 (the custom backward recomputes gates and sums in
+    a different order than XLA autodiff; the residual is accumulation-
+    order noise over a deep random recurrence). bf16: first-step
+    outputs within 1 ulp — later steps diverge chaotically on a random
+    model as the recurrence amplifies per-op rounding (the same
+    inherent bf16 trajectory noise NOTES.md documents for serving),
+    so only t=0 is asserted."""
     rng = np.random.default_rng(29)
     B, T, D, N = 32, 24, 512, 512
-    w = {k: v.astype(jnp.bfloat16)
-         for k, v in _weights(rng, D, N).items()}
+    w = _weights(rng, D, N)
     xs = jnp.asarray(rng.standard_normal((B, T, D)).astype(
-        np.float32) * 0.3).astype(jnp.bfloat16)
+        np.float32) * 0.3)
 
     def loss(fn):
         def f(xs, w):
@@ -206,11 +215,9 @@ def test_fused_scan_parity_tpu():
             return jnp.sum(out.astype(jnp.float32) ** 2)
         return f
 
-    out_r, h_r, c_r = lstm_scan(xs, w)
-    out_f, h_f, c_f = lstm_scan_fused(xs, w)
-    np.testing.assert_allclose(np.asarray(out_f, np.float32),
-                               np.asarray(out_r, np.float32),
-                               rtol=3e-2, atol=3e-2)
+    out_r, _, _ = lstm_scan(xs, w)
+    out_f, _, _ = lstm_scan_fused(xs, w)
+    np.testing.assert_array_equal(np.asarray(out_f), np.asarray(out_r))
     g_r = jax.grad(loss(lstm_scan), argnums=1)(xs, w)
     g_f = jax.grad(loss(lstm_scan_fused), argnums=1)(xs, w)
     for k in w:
@@ -219,4 +226,12 @@ def test_fused_scan_parity_tpu():
         denom = np.linalg.norm(a) * np.linalg.norm(b)
         assert denom > 0
         cos = float(np.dot(a, b) / denom)
-        assert cos > 0.999, (k, cos)
+        assert cos > 0.9999, (k, cos)
+    # bf16: structural agreement at the first step (1 ulp)
+    wb = {k: v.astype(jnp.bfloat16) for k, v in w.items()}
+    xb = xs.astype(jnp.bfloat16)
+    ob_r, _, _ = lstm_scan(xb, wb)
+    ob_f, _, _ = lstm_scan_fused(xb, wb)
+    np.testing.assert_allclose(np.asarray(ob_f[:, 0], np.float32),
+                               np.asarray(ob_r[:, 0], np.float32),
+                               atol=8e-3)
