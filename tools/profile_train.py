@@ -59,7 +59,7 @@ def main():
     from cor_asv_ann_tpu.ops.lstm import lstm_scan
     from cor_asv_ann_tpu.ops.attention import attention_step
 
-    params, config, mapping = bench.build(512, 2, 96)
+    config, mapping, params = bench.build(512, 2, 96)
     V, W = mapping.voc_size, config.width
     rng = np.random.default_rng(7)
     idx = rng.integers(1, V, size=(batch, t_enc))
