@@ -100,7 +100,12 @@ def main():
                     if a.dtype == jnp.float32 else a, p),
                 config, e, din_d, dout_d, w_d, key, False)
         loss, grads = jax.value_and_grad(lossf)(p32)
-        return loss, loss
+        # fold a grad reduction into the chain scalar: without consuming
+        # the grads XLA dead-code-eliminates the entire backward pass
+        # (this made every *bwd segment report forward-only time once)
+        gsum = sum(jnp.sum(g.astype(jnp.float32))
+                   for g in jax.tree_util.tree_leaves(grads))
+        return loss, loss + gsum
     res['grad_only'] = chained_time(grad_only, enc_d, steps, float)
 
     # --- forward loss only ----------------------------------------------
@@ -125,7 +130,9 @@ def main():
             return (jnp.sum(att.astype(jnp.float32))
                     + jnp.sum(u.astype(jnp.float32)))
         s, g = jax.value_and_grad(f)(pb)
-        return s, s
+        gs = sum(jnp.sum(x.astype(jnp.float32))
+                 for x in jax.tree_util.tree_leaves(g))
+        return s, s + gs
     res['encode_fwdbwd'] = chained_time(enc_bwd, enc_d, steps, float)
 
     # --- lower decoder scan fwd+bwd (isolated) --------------------------
@@ -141,7 +148,9 @@ def main():
                                   jnp.zeros((batch, W), jnp.bfloat16))
             return jnp.sum(out.astype(jnp.float32))
         s, g = jax.value_and_grad(f)(pb)
-        return s, s
+        gs = sum(jnp.sum(x.astype(jnp.float32))
+                 for x in jax.tree_util.tree_leaves(g))
+        return s, s + gs
     res['lower_scan_fwdbwd'] = chained_time(lower_bwd, x_low, steps, float)
 
     # --- fused whole-sequence Pallas scan A/B (same shapes as above) ----
@@ -167,7 +176,9 @@ def main():
                     jnp.zeros((batch, W), jnp.bfloat16))
                 return jnp.sum(out.astype(jnp.float32))
             s, g = jax.value_and_grad(f)(pb)
-            return s, s
+            gs = sum(jnp.sum(x.astype(jnp.float32))
+                     for x in jax.tree_util.tree_leaves(g))
+            return s, s + gs
         res['lower_scan_fused_fwdbwd'] = chained_time(lower_fused_bwd,
                                                       x_low, steps, float)
 
@@ -239,7 +250,9 @@ def main():
     def top_bwd(x):
         s, g = jax.value_and_grad(top_scan, argnums=(0, 1, 2, 3))(
             pb, x, att_in, u_in)
-        return s, s
+        gs = sum(jnp.sum(x2.astype(jnp.float32))
+                 for x2 in jax.tree_util.tree_leaves(g))
+        return s, s + gs
     res['top_scan_fwdbwd'] = chained_time(top_bwd, x_low, steps, float)
 
     # --- dense attention-energy block alone (one step, x Td) ------------
@@ -272,7 +285,9 @@ def main():
             probs = S._output_probs(p, h)
             return T.weighted_xent(probs, dout_d, w_d)
         s, g = jax.value_and_grad(f)(pb)
-        return s, s
+        gs = sum(jnp.sum(x.astype(jnp.float32))
+                 for x in jax.tree_util.tree_leaves(g))
+        return s, s + gs
     res['head_fwdbwd'] = chained_time(head_bwd, h_all, steps, float)
 
     for k in list(res):
