@@ -56,9 +56,12 @@ _DECODE_UNROLL = 1
 # (ops/pallas_lstm_train.py): 'auto' adopts it on TPU at aligned shapes
 # (fused_scan_supported), 'on'/'off' force ('on' uses interpreter mode
 # off-TPU, for tests). Training-only so the serving decode paths stay
-# byte-stable against the golden corpus. Default pending the on-device
-# measurement (adoption here is measurement-driven, NOTES.md).
-_FUSED_TRAIN_SCAN = 'off'
+# byte-stable against the golden corpus. Measured (v5e, B=256/T=128
+# bf16, tools/profile_train.py same-session A/B): isolated scan
+# fwd+bwd 12.5 -> 7.0 ms (1.78x), full train step 161.8 -> 145.9 ms
+# (1.11x); f32 forward byte-identical to the XLA scan
+# (tests/test_fused_scan.py::test_fused_scan_parity_tpu).
+_FUSED_TRAIN_SCAN = 'auto'
 
 
 def _train_scan(xs, w, h0=None, c0=None, reverse=False, mask=None):
