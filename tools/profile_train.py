@@ -211,6 +211,36 @@ def main():
             S._FUSED_TRAIN_SCAN = old_flag
             jax.clear_caches()
 
+    # --- PRODUCTION teacher-forced decoder (_decode_teacher: embedding,
+    # lower scans, windowed-attention top scan, tied softmax head) -------
+    states0 = [(jnp.zeros((batch, W), jnp.bfloat16),
+                jnp.zeros((batch, W), jnp.bfloat16))
+               for _ in range(config.depth)]
+    att_p = jax.device_put(rng.standard_normal(
+        (batch, t_enc, W)).astype(np.float32) * .1).astype(jnp.bfloat16)
+    u_p = jax.device_put(rng.standard_normal(
+        (batch, t_enc, W)).astype(np.float32) * .1).astype(jnp.bfloat16)
+
+    @jax.jit
+    def teacher_fwd(e):
+        probs = S._decode_teacher(pb, config, din_d, states0, att_p, u_p,
+                                  key, True)
+        s = jnp.sum(probs.astype(jnp.float32))
+        return s, s
+    res['teacher_fwd'] = chained_time(teacher_fwd, enc_d, steps, float)
+
+    @jax.jit
+    def teacher_bwd(e):
+        def f(p, att, u):
+            probs = S._decode_teacher(p, config, din_d, states0, att, u,
+                                      key, True)
+            return jnp.sum(probs.astype(jnp.float32))
+        s, g = jax.value_and_grad(f, argnums=(0, 1, 2))(pb, att_p, u_p)
+        gs = sum(jnp.sum(x.astype(jnp.float32))
+                 for x in jax.tree_util.tree_leaves(g))
+        return s, s + gs
+    res['teacher_fwdbwd'] = chained_time(teacher_bwd, enc_d, steps, float)
+
     # --- teacher-forced top attention scan ------------------------------
     att_in = jax.device_put(rng.standard_normal(
         (batch, t_enc, W)).astype(np.float32) * .1).astype(jnp.bfloat16)
