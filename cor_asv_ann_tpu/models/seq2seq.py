@@ -49,6 +49,13 @@ _TEACHER_REMAT_POLICY = None
 # energies (reference-shaped path); 'windowed' forces the carry.
 _TEACHER_ATTENTION = 'auto'
 _TEACHER_WINDOWED_MIN_T = 48
+# Hand-written VJP for the windowed teacher-forced top scan
+# (models/teacher_scan.py): stacks per-step window cotangents and
+# scatter-adds ONCE after the loop instead of carrying (B, T, W)
+# cotangent buffers for u/attended through every backward step.
+# 'auto' = use for training whenever the windowed path is selected;
+# 'on' forces it for any windowed call; 'off' keeps XLA autodiff.
+_TEACHER_VJP = 'auto'
 # Decode steps per while-loop iteration in decode_greedy (loop-overhead
 # amortization; >1 trades at most that many gated extra steps per batch)
 _DECODE_UNROLL = 1
@@ -362,18 +369,32 @@ def _decode_teacher(params, config, dec_input, states, attended, u,
     # chip. The policy keeps the small per-step matmul outputs ((B, 4W)
     # gates etc., ~200MB over Td=128) so the backward recomputes only
     # the elementwise attention energy, not the LSTM matmuls.
-    if use_windowed:
-        fn = body_windowed
-        carry0 = (h0, c0, jnp.zeros((B, WIN), attended.dtype),
-                  jnp.zeros((B,), jnp.int32))
+    use_manual_vjp = (use_windowed
+                      and _TEACHER_VJP != 'off'
+                      and (_TEACHER_VJP == 'on' or train))
+    if use_manual_vjp:
+        # hand-written VJP (models/teacher_scan.py): small residuals, no
+        # remat, u/attended gradients assembled by one scatter-add after
+        # the loop instead of per-step (B, T, W) carried buffers
+        from .teacher_scan import teacher_top_scan
+        mask_f = (enc_mask.astype(attended.dtype)
+                  if enc_mask is not None else None)
+        out2 = teacher_top_scan(top, out, attended, u, h0, c0, mask_f,
+                                masks, config.window_width, WIN)
     else:
-        fn = body
-        carry0 = (h0, c0, a0)
-    ckpt = (jax.checkpoint(fn, policy=_TEACHER_REMAT_POLICY)
-            if _TEACHER_REMAT_POLICY is not None else jax.checkpoint(fn))
-    _, hs = jax.lax.scan(ckpt, carry0, xs,
-                         unroll=_TEACHER_UNROLL)
-    out2 = jnp.swapaxes(hs, 0, 1)
+        if use_windowed:
+            fn = body_windowed
+            carry0 = (h0, c0, jnp.zeros((B, WIN), attended.dtype),
+                      jnp.zeros((B,), jnp.int32))
+        else:
+            fn = body
+            carry0 = (h0, c0, a0)
+        ckpt = (jax.checkpoint(fn, policy=_TEACHER_REMAT_POLICY)
+                if _TEACHER_REMAT_POLICY is not None
+                else jax.checkpoint(fn))
+        _, hs = jax.lax.scan(ckpt, carry0, xs,
+                             unroll=_TEACHER_UNROLL)
+        out2 = jnp.swapaxes(hs, 0, 1)
     if config.residual_connections and depth > 1:
         out = out2 + out
     else:

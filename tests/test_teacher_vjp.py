@@ -1,0 +1,137 @@
+"""Hand-written VJP of the windowed teacher-forced top scan
+(models/teacher_scan.py) vs XLA autodiff of the same windowed scan.
+
+The manual backward stacks per-step window cotangents and scatter-adds
+once after the loop (instead of carrying (B, T, W) cotangent buffers for
+u/attended through every step); gradients must match autodiff to
+accumulation-order noise in every argument, with and without dropout
+masks and padding masks.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cor_asv_ann_tpu.models import seq2seq as S
+from cor_asv_ann_tpu.models.config import Seq2SeqConfig, init_params
+
+
+def _setup(mask_padding=False, seed=3, B=4, T=12, V=14, W=8):
+    rng = np.random.default_rng(seed)
+    config = Seq2SeqConfig(width=W, depth=2, voc_size=V,
+                           mask_padding=mask_padding)
+    params = jax.tree_util.tree_map(
+        jnp.asarray, init_params(config, seed=seed))
+    idx = rng.integers(1, V, size=(B, T))
+    enc = np.zeros((B, T, V), np.float32)
+    enc[np.arange(B)[:, None], np.arange(T)[None, :], idx] = 1.0
+    if mask_padding:
+        enc[-1, T // 2:] = 0.0     # one short line exercises the mask
+    dec_in = np.zeros((B, T + 1, V), np.float32)
+    dec_in[:, 1:] = enc
+    return config, params, jnp.asarray(enc), jnp.asarray(dec_in)
+
+
+def _loss_through_decode_teacher(params, config, enc, dec_in, key,
+                                 train):
+    """Forward through encode + _decode_teacher (the production wiring
+    that selects the manual VJP) reduced to a scalar."""
+    probs = S.forward_teacher(params, config, enc, dec_in,
+                              dropout_rng=key, train=train)
+    return jnp.sum(probs.astype(jnp.float32) ** 2)
+
+
+@pytest.mark.parametrize('mask_padding', [False, True])
+@pytest.mark.parametrize('train', [False, True])
+def test_manual_vjp_matches_autodiff(monkeypatch, mask_padding, train):
+    config, params, enc, dec_in = _setup(mask_padding)
+    key = jax.random.PRNGKey(7)
+
+    def run(mode):
+        monkeypatch.setattr(S, '_TEACHER_ATTENTION', 'windowed')
+        monkeypatch.setattr(S, '_TEACHER_VJP', mode)
+        jax.clear_caches()
+        loss, grads = jax.value_and_grad(_loss_through_decode_teacher)(
+            params, config, enc, dec_in, key, train)
+        return float(loss), grads
+
+    l_ref, g_ref = run('off')
+    l_man, g_man = run('on')
+    np.testing.assert_allclose(l_man, l_ref, rtol=1e-5)
+    flat_r, tree_r = jax.tree_util.tree_flatten(g_ref)
+    flat_m, _ = jax.tree_util.tree_flatten(g_man)
+    paths = jax.tree_util.tree_leaves_with_path(g_ref)
+    for (path, r), m in zip(paths, flat_m):
+        np.testing.assert_allclose(
+            np.asarray(m), np.asarray(r), rtol=2e-4, atol=1e-5,
+            err_msg=str(jax.tree_util.keystr(path)))
+
+
+def test_manual_vjp_forward_matches_windowed(monkeypatch):
+    """Forward probabilities through the manual-VJP scan equal the
+    windowed autodiff scan (same gather math) to f32 tolerance."""
+    config, params, enc, dec_in = _setup()
+    key = jax.random.PRNGKey(5)
+    monkeypatch.setattr(S, '_TEACHER_ATTENTION', 'windowed')
+    monkeypatch.setattr(S, '_TEACHER_VJP', 'off')
+    jax.clear_caches()
+    p_ref = S.forward_teacher(params, config, enc, dec_in)
+    monkeypatch.setattr(S, '_TEACHER_VJP', 'on')
+    jax.clear_caches()
+    p_man = S.forward_teacher(params, config, enc, dec_in)
+    np.testing.assert_allclose(np.asarray(p_man), np.asarray(p_ref),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_auto_mode_engages_only_for_training(monkeypatch):
+    """'auto' must leave train=False (eval/perplexity) on the autodiff
+    path — its forward is the byte-pinned one — and engage for train."""
+    calls = []
+    from cor_asv_ann_tpu.models import teacher_scan as TS
+    real = TS.teacher_top_scan
+
+    def spy(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(TS, 'teacher_top_scan', spy)
+    config, params, enc, dec_in = _setup(B=2, T=52)  # T >= windowed min
+    key = jax.random.PRNGKey(1)
+    monkeypatch.setattr(S, '_TEACHER_VJP', 'auto')
+    jax.clear_caches()
+    S.forward_teacher(params, config, enc, dec_in)          # eval
+    assert not calls
+    S.forward_teacher(params, config, enc, dec_in,
+                      dropout_rng=key, train=True)          # train
+    assert calls
+
+
+def test_train_step_with_manual_vjp(monkeypatch):
+    """Full train_step with the manual VJP forced: per-step losses track
+    the autodiff path across several optimizer steps."""
+    from cor_asv_ann_tpu.models import train as T
+    config, params, enc, dec_in = _setup(B=4, T=10)
+    dec_out = jnp.concatenate(
+        [enc, jnp.zeros((enc.shape[0], 1, enc.shape[2]))], axis=1)
+    weights = (jnp.sum(dec_out, -1) > 0).astype(jnp.float32)
+    opt = T.make_optimizer(1e-3)
+    key = jax.random.PRNGKey(0)
+
+    def run(mode):
+        monkeypatch.setattr(S, '_TEACHER_ATTENTION', 'windowed')
+        monkeypatch.setattr(S, '_TEACHER_VJP', mode)
+        jax.clear_caches()
+        p = jax.tree_util.tree_map(jnp.asarray, params)
+        st = opt.init(p)
+        losses = []
+        for _ in range(3):
+            p, st, loss = T.train_step(p, st, config, enc, dec_in,
+                                       dec_out, weights, key,
+                                       lm_loss=False, optimizer=opt)
+            losses.append(float(loss))
+        return losses
+
+    ref = run('off')
+    man = run('on')
+    np.testing.assert_allclose(man, ref, rtol=1e-4, atol=1e-5)
