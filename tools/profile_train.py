@@ -241,6 +241,40 @@ def main():
         return s, s + gs
     res['teacher_fwdbwd'] = chained_time(teacher_bwd, enc_d, steps, float)
 
+    # --- manual-VJP teacher scan A/B (same-session; trace-time flag) ----
+    for mode in ('off', 'auto'):
+        jax.clear_caches()
+        old_vjp = getattr(S, '_TEACHER_VJP', None)
+        if old_vjp is None:
+            break
+        S._TEACHER_VJP = mode
+        try:
+            @jax.jit
+            def teacher_bwd_mode(e):
+                def f(p, att, u):
+                    probs = S._decode_teacher(p, config, din_d, states0,
+                                              att, u, key, True)
+                    return jnp.sum(probs.astype(jnp.float32))
+                s, g = jax.value_and_grad(f, argnums=(0, 1, 2))(
+                    pb, att_p, u_p)
+                gs = sum(jnp.sum(x.astype(jnp.float32))
+                         for x in jax.tree_util.tree_leaves(g))
+                return s, s + gs
+            res['teacher_fwdbwd_vjp_%s' % mode] = chained_time(
+                teacher_bwd_mode, enc_d, steps, float)
+
+            def full_step_mode(e):
+                p2, _, loss = T.train_step(p32, opt_state, config, e,
+                                           din_d, dout_d, w_d, key,
+                                           lm_loss=False, optimizer=opt,
+                                           compute_dtype='bfloat16')
+                return loss, loss
+            res['full_step_vjp_%s' % mode] = chained_time(
+                full_step_mode, enc_d, steps, float)
+        finally:
+            S._TEACHER_VJP = old_vjp
+    jax.clear_caches()
+
     # --- teacher-forced top attention scan ------------------------------
     att_in = jax.device_put(rng.standard_normal(
         (batch, t_enc, W)).astype(np.float32) * .1).astype(jnp.bfloat16)
