@@ -288,22 +288,25 @@ def bench_train(params, config, mapping, batch=256, t_enc=128, steps=8):
             # v5e peak: 197 TFLOP/s bf16
             result['mfu_bf16'] = round(flops / dt / 197e12, 4)
             result['flops_per_step'] = flops
-    # A/B the fused whole-sequence Pallas scan against the XLA scan at
-    # the same shape (same-session ratio — device speed swings day to
-    # day, so only the ratio is comparable across rounds). The flag is
-    # read at trace time: caches must be dropped around each flip.
+    # A/B the round-4 training-path rework — fused whole-sequence Pallas
+    # scans + the hand-written teacher-scan VJP — against the plain XLA
+    # autodiff baseline at the same shape (same-session ratio: device
+    # speed swings day to day, only the ratio is comparable across
+    # rounds). The dispatch flags are read at trace time, so caches are
+    # dropped around each flip.
     from cor_asv_ann_tpu.models import seq2seq as S
     from cor_asv_ann_tpu.ops.pallas_lstm_train import fused_scan_supported
     pb = jax.tree_util.tree_map(
         lambda a: a.astype(jnp.bfloat16)
         if a.dtype == jnp.float32 else a, params)
     if fused_scan_supported(pb['decoder'][0], batch, config.width):
-        old = S._FUSED_TRAIN_SCAN
+        old = (S._FUSED_TRAIN_SCAN, S._TEACHER_VJP)
         times = {}
         try:
-            for mode in ('off', 'on'):
+            for mode, flags in (('baseline', ('off', 'off')),
+                                ('shipped', ('auto', 'auto'))):
                 jax.clear_caches()
-                S._FUSED_TRAIN_SCAN = mode
+                S._FUSED_TRAIN_SCAN, S._TEACHER_VJP = flags
                 p = jax.tree_util.tree_map(jnp.asarray, params)
                 opt_state = opt.init(p)
                 for _ in range(2):
@@ -321,10 +324,12 @@ def bench_train(params, config, mapping, batch=256, t_enc=128, steps=8):
                 float(loss)
                 times[mode] = (time.perf_counter() - t0) / steps
         finally:
-            S._FUSED_TRAIN_SCAN = old
+            S._FUSED_TRAIN_SCAN, S._TEACHER_VJP = old
             jax.clear_caches()
-        result['fused_scan_step_ms'] = round(times['on'] * 1e3, 2)
-        result['fused_scan_ratio'] = round(times['off'] / times['on'], 3)
+        result['train_rework_baseline_ms'] = round(
+            times['baseline'] * 1e3, 2)
+        result['train_rework_ratio'] = round(
+            times['baseline'] / times['shipped'], 3)
     return result
 
 
