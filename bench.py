@@ -514,16 +514,26 @@ def main():
                                       batch=16, t_enc=32, steps=2)
         result['train'].pop('mfu_bf16', None)  # meaningless off-TPU
     else:
-        result['train'] = bench_train(params, config, mapping)
+        # each auxiliary point is fenced: a failure (e.g. an OOM at an
+        # experimental shape) is recorded instead of killing the run
+        def fenced(name, fn):
+            try:
+                result[name] = fn()
+            except Exception as exc:       # noqa: BLE001 - recorded
+                result[name] = {'error': '%s: %s' % (
+                    type(exc).__name__, str(exc)[:200])}
+
+        fenced('train', lambda: bench_train(params, config, mapping))
+
         # long-line point: T=256 bucket exercises the windowed-gather
         # decoder (decode_greedy_windowed, the T>=128 serving path)
-        long_enc = make_flagship_lines(mapping, 256, 220, 256)
-        long_lps, _ = bench_tpu(params, config, mapping, long_enc,
-                                repeats=5)
-        result['long_lines_T256'] = {
-            'value': round(long_lps, 2),
-            'unit': 'lines/sec/chip',
-        }
+        def long_point():
+            long_enc = make_flagship_lines(mapping, 256, 220, 256)
+            long_lps, _ = bench_tpu(params, config, mapping, long_enc,
+                                    repeats=5)
+            return {'value': round(long_lps, 2),
+                    'unit': 'lines/sec/chip'}
+        fenced('long_lines_T256', long_point)
         # small-batch latency points: the fused whole-loop Pallas decode
         # (weights VMEM-resident across characters) vs the XLA path;
         # the measured ratios drive the dispatch bound exactly like
@@ -539,8 +549,8 @@ def main():
         # large-batch training point: remat makes B=1024/T=128 trainable
         # (README.md); bigger per-step matmuls amortize the sequential
         # scan-step latency that bounds MFU at B=256
-        result['train_B1024'] = bench_train(params, config, mapping,
-                                            batch=1024, steps=4)
+        fenced('train_B1024', lambda: bench_train(
+            params, config, mapping, batch=1024, steps=4))
     print(json.dumps(result))
     watchdog.cancel()
 

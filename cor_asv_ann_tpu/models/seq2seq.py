@@ -60,6 +60,10 @@ _TEACHER_WINDOWED_MIN_T = 48
 # 146.1 -> 74.8 ms (1.95x; 2.17x combined with the fused scans vs the
 # round-start 161.8 ms baseline on the same day's device).
 _TEACHER_VJP = 'auto'
+# 'auto' falls back to remat-autodiff when the manual backward's
+# cotangent stacks would exceed this (see _decode_teacher); 2.5 GB
+# admits bf16 up to B=512 and f32 up to B=256 at T=128
+_TEACHER_VJP_STACK_BUDGET = 2.5e9
 # Decode steps per while-loop iteration in decode_greedy (loop-overhead
 # amortization; >1 trades at most that many gated extra steps per batch)
 _DECODE_UNROLL = 1
@@ -373,9 +377,18 @@ def _decode_teacher(params, config, dec_input, states, attended, u,
     # chip. The policy keeps the small per-step matmul outputs ((B, 4W)
     # gates etc., ~200MB over Td=128) so the backward recomputes only
     # the elementwise attention energy, not the LSTM matmuls.
+    # the manual backward emits (Td, B, WIN, ~2W) cotangent stacks; at
+    # very large B*Td they dominate HBM (measured: B=1024/T=128 bf16
+    # needed ~27 GB vs the 16 GB chip), so such shapes keep the
+    # remat-autodiff path, which trades the traffic for recompute
+    itemsize = 2 if attended.dtype == jnp.bfloat16 else 4
+    vjp_stack_bytes = (Td * B * WIN * (W + config.attended_size)
+                       + Td * B * 7 * W) * itemsize
     use_manual_vjp = (use_windowed
                       and _TEACHER_VJP != 'off'
-                      and (_TEACHER_VJP == 'on' or train))
+                      and (_TEACHER_VJP == 'on'
+                           or (train and vjp_stack_bytes
+                               <= _TEACHER_VJP_STACK_BUDGET)))
     if use_manual_vjp:
         # hand-written VJP (models/teacher_scan.py): small residuals, no
         # remat, u/attended gradients assembled by one scatter-add after

@@ -225,8 +225,14 @@ def _tts_bwd(ww, WIN, res, g_out):
             dwvec.astype(top['W_a'].dtype), top['W_a'],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=f32)
-        emit = (dx_t, dz, dwvec, du_w.astype(u.dtype),
-                datt_w.astype(attended.dtype), win_ix, ctx)
+        # emit stacks in the weight dtype: the f32 stacks cost 2x the
+        # HBM and every consumer accumulates in f32 anyway
+        # (preferred_element_type on the contractions, f32 scatter
+        # targets); measured identical gradient quality at bf16
+        emit = (dx_t.astype(xs.dtype), dz.astype(kdt),
+                dwvec.astype(kdt), du_w.astype(u.dtype),
+                datt_w.astype(attended.dtype), win_ix,
+                ctx.astype(xs.dtype))
         return (dh_next, dc_next, dv_a, db_v), emit
 
     carry0 = (jnp.zeros((B, W), f32), jnp.zeros((B, W), f32),
@@ -237,28 +243,39 @@ def _tts_bwd(ww, WIN, res, g_out):
     dxs_t, dz_t, dwvec_t, duw_t, dattw_t, winix_t, ctx_t = emits
 
     # ---- assemble the large gradients outside the loop ----------------
-    # u/attended: ONE scatter-add over all (t, b, win) window rows
-    flat_ix = winix_t.reshape(-1)                      # (Td*B*WIN,)
-    flat_b = jnp.broadcast_to(jnp.arange(B)[None, :, None],
-                              winix_t.shape).reshape(-1)
-    du = jnp.zeros((B, T, W), f32).at[flat_b, flat_ix].add(
-        duw_t.astype(f32).reshape(-1, W))
-    datt = jnp.zeros((B, T, A), f32).at[flat_b, flat_ix].add(
-        dattw_t.astype(f32).reshape(-1, A))
-    # weight grads as whole-sequence contractions
-    hprev_f = hprev.astype(f32)
-    dW_a = jnp.einsum('tbn,tbm->nm', hprev_f, dwvec_t,
+    # u/attended: scatter-add the stacked window cotangents in a few
+    # static time chunks — each chunk's f32 conversion is transient, so
+    # the peak is chunk-sized instead of a full-stack f32 copy (a full
+    # copy cost ~6.5 GB at B=1024/T=128 and OOM'd the 16 GB chip)
+    n_chunks = min(8, Td)
+    bounds = [round(k * Td / n_chunks) for k in range(n_chunks + 1)]
+    du = jnp.zeros((B, T, W), f32)
+    datt = jnp.zeros((B, T, A), f32)
+    b_full = jnp.broadcast_to(jnp.arange(B)[None, :, None],
+                              winix_t.shape)
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        if hi == lo:
+            continue
+        ix = winix_t[lo:hi].reshape(-1)
+        bix = b_full[lo:hi].reshape(-1)
+        du = du.at[bix, ix].add(
+            duw_t[lo:hi].astype(f32).reshape(-1, W))
+        datt = datt.at[bix, ix].add(
+            dattw_t[lo:hi].astype(f32).reshape(-1, A))
+    # weight grads as whole-sequence contractions (f32 MXU accumulation
+    # over the low-precision stacks — no materialized f32 copies)
+    dW_a = jnp.einsum('tbn,tbm->nm', hprev, dwvec_t,
                       preferred_element_type=f32)
-    db_UW = jnp.sum(dwvec_t, axis=(0, 1))
-    dR = jnp.einsum('tbn,tbm->nm', hprev_f, dz_t,
+    db_UW = jnp.sum(dwvec_t, axis=(0, 1), dtype=f32)
+    dR = jnp.einsum('tbn,tbm->nm', hprev, dz_t,
                     preferred_element_type=f32)
-    dbias = jnp.sum(dz_t, axis=(0, 1))
+    dbias = jnp.sum(dz_t, axis=(0, 1), dtype=f32)
     cell_in_t = jnp.concatenate(
-        [xs_t, ctx_t.astype(xs_t.dtype)], axis=-1).astype(f32)
+        [xs_t, ctx_t.astype(xs_t.dtype)], axis=-1)
     if masks is not None:
         dK = jnp.concatenate(
             [jnp.einsum('tbi,tbn->in',
-                        cell_in_t * masks[g][None].astype(f32),
+                        cell_in_t * masks[g][None].astype(cell_in_t.dtype),
                         dz_t[..., g * W:(g + 1) * W],
                         preferred_element_type=f32)
              for g in range(4)], axis=-1)
