@@ -46,6 +46,9 @@ import jax.numpy as jnp
 
 from ..ops.lstm import mm, gate_math
 
+# scan unroll (loop-overhead amortization, same as ops.lstm._UNROLL)
+_UNROLL = 4
+
 
 def _win_ix(astart, WIN, T):
     return jnp.minimum(astart[:, None] + jnp.arange(WIN), T - 1)
@@ -116,7 +119,8 @@ def _fwd_scan(top, xs, attended, u, h0, c0, enc_mask, masks, ww, WIN):
         return (h2, c2, a, new_start), (h2, c2, a, new_start)
 
     xs_t = jnp.swapaxes(xs, 0, 1)
-    _, (hs, cs, aws, astarts) = jax.lax.scan(body, (h0, c0, a0, s0), xs_t)
+    _, (hs, cs, aws, astarts) = jax.lax.scan(body, (h0, c0, a0, s0),
+                                             xs_t, unroll=_UNROLL)
     return hs, cs, aws, astarts
 
 
@@ -239,7 +243,8 @@ def _tts_bwd(ww, WIN, res, g_out):
               jnp.zeros((W,), f32), jnp.zeros((), f32))
     steps = (g_t, hprev, cprev, cs, aws, astarts, xs_t)
     (dh0, dc0, dv_a, db_v), emits = jax.lax.scan(body, carry0, steps,
-                                                 reverse=True)
+                                                 reverse=True,
+                                                 unroll=_UNROLL)
     dxs_t, dz_t, dwvec_t, duw_t, dattw_t, winix_t, ctx_t = emits
 
     # ---- assemble the large gradients outside the loop ----------------
