@@ -47,18 +47,29 @@ _TEACHER_REMAT_POLICY = None
 # the model has a local window and the line is long enough for the
 # saving to beat the gather overhead; 'dense' forces the full-T
 # energies (reference-shaped path); 'windowed' forces the carry.
+#
+# MIN_T is measured, not the traffic model's guess: on the v5e the
+# dense energies stream at full HBM bandwidth while the windowed
+# row-gathers (and their scatter transposes in training) are
+# random-access — same-session full-train-step A/B at B=256 bf16:
+# T=128 dense+fused 58.2 ms vs windowed+manual-VJP 84.4 ms (dense
+# wins); T=256 dense 207.2 ms vs windowed+VJP 178.3 ms (windowed
+# wins). Crossover between 128 and 256; windowed-without-manual-VJP
+# is NEVER competitive for training (166.4 ms at T=128, a 2.1x
+# regression over dense+remat that round 4 caught and fixed).
 _TEACHER_ATTENTION = 'auto'
-_TEACHER_WINDOWED_MIN_T = 48
+_TEACHER_WINDOWED_MIN_T = 192
 # Hand-written VJP for the windowed teacher-forced top scan
 # (models/teacher_scan.py): stacks per-step window cotangents and
 # scatter-adds ONCE after the loop instead of carrying (B, T, W)
 # cotangent buffers for u/attended through every backward step.
 # 'auto' = use for training whenever the windowed path is selected;
 # 'on' forces it for any windowed call; 'off' keeps XLA autodiff.
-# Measured (v5e, B=256/T=128 bf16, tools/profile_train.py same-session
-# A/B): teacher fwd+bwd 124.8 -> 62.4 ms, FULL train step
-# 146.1 -> 74.8 ms (1.95x; 2.17x combined with the fused scans vs the
-# round-start 161.8 ms baseline on the same day's device).
+# Measured (v5e, B=256 bf16, same-session A/B): at T=128 the manual
+# VJP takes windowed-autodiff from 166.4 to 84.4 ms full-step (1.97x);
+# at T=256 windowed+VJP (178.3 ms) beats the dense path (207.2 ms), so
+# this is what makes the windowed teacher path viable at the long-T
+# shapes it now serves (T >= _TEACHER_WINDOWED_MIN_T).
 _TEACHER_VJP = 'auto'
 # 'auto' falls back to remat-autodiff when the manual backward's
 # cotangent stacks would exceed this (see _decode_teacher); 2.5 GB

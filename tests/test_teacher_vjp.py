@@ -96,8 +96,11 @@ def test_auto_mode_engages_only_for_training(monkeypatch):
         return real(*a, **k)
 
     monkeypatch.setattr(TS, 'teacher_top_scan', spy)
-    config, params, enc, dec_in = _setup(B=2, T=52)  # T >= windowed min
+    config, params, enc, dec_in = _setup(B=2, T=52)
     key = jax.random.PRNGKey(1)
+    # force the windowed path (its 'auto' threshold is measured for
+    # flagship-scale shapes, models/seq2seq.py _TEACHER_WINDOWED_MIN_T)
+    monkeypatch.setattr(S, '_TEACHER_ATTENTION', 'windowed')
     monkeypatch.setattr(S, '_TEACHER_VJP', 'auto')
     jax.clear_caches()
     S.forward_teacher(params, config, enc, dec_in)          # eval

@@ -20,7 +20,7 @@ from cor_asv_ann_tpu.utils.data import CharMapping
 from conftest import make_onehot_batch
 
 
-T_PAD = 64  # >= _TEACHER_WINDOWED_MIN_T so 'auto' takes the window
+T_PAD = 64  # tests force the mode explicitly; 'auto' picks by MIN_T
 
 
 def _setup(mask_padding, dtype=jnp.float32, seed=3):
