@@ -255,7 +255,17 @@ def bench_train(params, config, mapping, batch=256, t_enc=128, steps=8):
     for name, cdt in (('bf16', 'bfloat16'), ('f32', None)):
         p = jax.tree_util.tree_map(jnp.asarray, params)
         opt_state = opt.init(p)
-        flops = None
+        # MFU numerator: the ANALYTIC model-flop count (standard MFU
+        # practice — the model's matmul math, independent of the
+        # implementation). XLA's cost model is recorded alongside but
+        # NOT used: it undercounted the scan flops ~2x in rounds 1-3
+        # (the 0.0787 r03 headline recomputes to 0.19 analytic on the
+        # same measurement) and cannot see into pallas_call custom
+        # calls at all, so it would silently shrink whenever compute
+        # moves into a kernel.
+        flops = train_flops_estimate(config.width, V, t_enc,
+                                     t_enc + 1, batch)
+        flops_cost_model = None
         try:
             comp = T.train_step.lower(
                 p, opt_state, config, enc_d, din_d, dout_d, w_d, key,
@@ -264,12 +274,9 @@ def bench_train(params, config, mapping, batch=256, t_enc=128, steps=8):
             if isinstance(ca, (list, tuple)):
                 ca = ca[0]
             if ca and ca.get('flops', 0) > 0:
-                flops = float(ca['flops'])
+                flops_cost_model = float(ca['flops'])
         except Exception:
             pass
-        if flops is None:
-            flops = train_flops_estimate(config.width, V, t_enc,
-                                         t_enc + 1, batch)
         # compile + warm
         for _ in range(2):
             p, opt_state, loss = T.train_step(
@@ -288,6 +295,15 @@ def bench_train(params, config, mapping, batch=256, t_enc=128, steps=8):
             # v5e peak: 197 TFLOP/s bf16
             result['mfu_bf16'] = round(flops / dt / 197e12, 4)
             result['flops_per_step'] = flops
+            result['flops_denominator'] = ('analytic model flops '
+                                           '(r04: was XLA cost model, '
+                                           'which undercounts scans and '
+                                           'cannot see pallas kernels; '
+                                           'r03 0.0787 -> 0.19 analytic '
+                                           'on the same measurement)')
+            if flops_cost_model:
+                result['mfu_bf16_xla_cost_model'] = round(
+                    flops_cost_model / dt / 197e12, 4)
     # A/B the round-4 training-path rework — fused whole-sequence Pallas
     # scans + the hand-written teacher-scan VJP — against the plain XLA
     # autodiff baseline at the same shape (same-session ratio: device
