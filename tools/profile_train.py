@@ -241,13 +241,19 @@ def main():
         return s, s + gs
     res['teacher_fwdbwd'] = chained_time(teacher_bwd, enc_d, steps, float)
 
-    # --- manual-VJP teacher scan A/B (same-session; trace-time flag) ----
-    for mode in ('off', 'auto'):
+    # --- manual-VJP teacher scan A/B (same-session; trace-time flags).
+    # Forces the WINDOWED attention for both arms so the A/B isolates
+    # the VJP even below _TEACHER_WINDOWED_MIN_T (at the default T=128
+    # the shipped path is dense — run with t=256 to profile the shipped
+    # windowed regime).
+    old_att = getattr(S, '_TEACHER_ATTENTION', None)
+    for mode in ('off', 'on'):
         jax.clear_caches()
         old_vjp = getattr(S, '_TEACHER_VJP', None)
-        if old_vjp is None:
+        if old_vjp is None or old_att is None:
             break
         S._TEACHER_VJP = mode
+        S._TEACHER_ATTENTION = 'windowed'
         try:
             @jax.jit
             def teacher_bwd_mode(e):
@@ -273,6 +279,7 @@ def main():
                 full_step_mode, enc_d, steps, float)
         finally:
             S._TEACHER_VJP = old_vjp
+            S._TEACHER_ATTENTION = old_att
     jax.clear_caches()
 
     # --- teacher-forced top attention scan ------------------------------
