@@ -100,6 +100,11 @@ def fused_greedy_supported(params, config, T):
         return False
     if jax.default_backend() not in ('tpu', 'axon'):
         return False
+    # sub-lane widths fail Mosaic lowering (measured on w16: the
+    # (bt, W) -> (bt, 1, W) broadcast in the energy sum is an
+    # "unsupported shape cast" below the 128-lane vector width)
+    if config.width % 128 != 0:
+        return False
     # the weights plus at least one 8-row attended/u tile must fit VMEM
     return _tile_rows(T, config.width, config.voc_size) >= 8
 
@@ -171,6 +176,10 @@ def _kernel(enc_att_ref, enc_u_ref, h1_ref, c1_ref, h2_ref, c2_ref,
         h2n, c2n = gates(z2, c2)
         # --- weight-tied softmax readout ------------------------------
         logits = jnp.dot(h2n, e_ref[:].T, preferred_element_type=f32)
+        # (rounding logits to wdt pre-softmax to mirror _output_probs
+        # was tried and measured NO closer to the XLA path's scores —
+        # the residual per-line score delta (~2e-3 abs on the flagship)
+        # is compounded per-step trajectory rounding, not this readout)
         probs = jax.nn.softmax(logits, axis=-1).astype(wdt)  # (bt, V)
         # --- greedy pick: argmax excluding index 0 --------------------
         lane = jax.lax.broadcasted_iota(jnp.int32, (bt, V), 1)
