@@ -50,14 +50,18 @@ def _pick_fused_bound(ratios, floor=16):
     throughput ratios per batch size: the largest batch such that every
     measured batch up to it won (ratio >= 1.0) — the dispatched regime
     is then >=1.0x by construction on the measuring device. Batches
-    below `floor` are assumed winning even if unmeasured (the B<=16 win
-    is stable across sessions, NOTES.md)."""
+    below `floor` are assumed winning only when UNMEASURED (the B<=16
+    win is stable across sessions, NOTES.md) — a measured loss at or
+    below the floor disables fused dispatch entirely for the session
+    (returns 0): measurement always outranks the assumption."""
     best = floor
     for b in sorted(ratios):
         if ratios[b] >= 1.0:
             if b > best:
                 best = b
-        elif b > floor:
+        elif b <= floor:
+            return 0
+        else:
             break
     return best
 

@@ -104,6 +104,10 @@ def test_pick_fused_bound():
     assert _pick_fused_bound({16: 1.2, 32: 1.05, 64: 0.8}) == 32
     assert _pick_fused_bound({}) == 16
     assert _pick_fused_bound({64: 0.5}) == 16
+    # a measured loss AT the floor disables fused dispatch entirely —
+    # measurement outranks the unmeasured-floor assumption
+    assert _pick_fused_bound({16: 0.42, 32: 0.76, 64: 0.94}) == 0
+    assert _pick_fused_bound({16: 0.9, 32: 1.2}) == 0
 
 
 def test_autotune_unsupported_returns_none():
