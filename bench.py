@@ -567,6 +567,11 @@ def main():
         # scan-step latency that bounds MFU at B=256
         fenced('train_B1024', lambda: bench_train(
             params, config, mapping, batch=1024, steps=4))
+        # long-sequence training point: T=256 is the windowed +
+        # manual-VJP teacher regime (T >= _TEACHER_WINDOWED_MIN_T) —
+        # keeps the shipped long-T path measured every round
+        fenced('train_T256', lambda: bench_train(
+            params, config, mapping, batch=256, t_enc=256, steps=3))
     print(json.dumps(result))
     watchdog.cancel()
 
