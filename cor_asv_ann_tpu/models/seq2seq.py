@@ -400,6 +400,13 @@ def _decode_teacher(params, config, dec_input, states, attended, u,
                       and (_TEACHER_VJP == 'on'
                            or (train and vjp_stack_bytes
                                <= _TEACHER_VJP_STACK_BUDGET)))
+    if train and use_windowed and not use_manual_vjp \
+            and _TEACHER_ATTENTION != 'windowed':
+        # windowed TRAINING without the manual VJP is never competitive
+        # (measured: 166 vs 78 ms dense at T=128; 11 s/step f32 at
+        # T=256; OOM at B=1024) — when the VJP is off or over its stack
+        # budget, train dense instead of windowed-autodiff
+        use_windowed = False
     if use_manual_vjp:
         # hand-written VJP (models/teacher_scan.py): small residuals, no
         # remat, u/attended gradients assembled by one scatter-add after
