@@ -361,13 +361,15 @@ def _decode_teacher(params, config, dec_input, states, attended, u,
 
     def body_windowed(carry, x_t):
         # windowed attention carry: only the WIN visible rows of u /
-        # attended are gathered and tanh'd per step — the dense path
-        # computes the (B, T, W) energy tanh and then masks everything
-        # outside the ±window_width window to -inf anyway, so forward
-        # AND backward (the masked rows have exactly zero gradient) are
-        # mathematically identical while the dominant per-step
-        # elementwise/traffic cost drops T/WIN-fold (the training-side
-        # twin of decode_greedy_windowed; _windowed_attention docstring)
+        # attended are gathered per step — mathematically identical to
+        # the dense masked energies in forward AND backward (the masked
+        # rows have exactly zero gradient). NOTE the traffic model's
+        # T/WIN-fold saving does NOT materialize for training autodiff
+        # (the gather's scatter transpose is a measured 2.1x full-step
+        # regression at T=128, see _TEACHER_ATTENTION note): this body
+        # serves forward-only (eval) long-T calls and forced-'windowed'
+        # tests; windowed TRAINING goes through teacher_top_scan's
+        # manual VJP instead
         h, c, aw, astart = carry
         ctx, aw_new, astart_new = _windowed_attention(
             top, h, aw, astart, attended, u, config.window_width,
