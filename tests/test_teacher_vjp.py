@@ -110,6 +110,39 @@ def test_auto_mode_engages_only_for_training(monkeypatch):
     assert calls
 
 
+def test_budget_fallback_is_dense_not_windowed_autodiff(monkeypatch):
+    """When 'auto' training selects the windowed path but the manual
+    VJP declines (stack budget), the step must fall back to DENSE —
+    windowed autodiff is never competitive (measured 2.1x regression at
+    T=128, 11 s/step f32 at T=256; seq2seq._decode_teacher)."""
+    from cor_asv_ann_tpu.models import teacher_scan as TS
+    config, params, enc, dec_in = _setup(B=2, T=12)
+    key = jax.random.PRNGKey(3)
+    vjp_calls, win_calls = [], []
+    real_tts = TS.teacher_top_scan
+    real_win = S._windowed_attention
+
+    def spy_tts(*a, **k):
+        vjp_calls.append(1)
+        return real_tts(*a, **k)
+
+    def spy_win(*a, **k):
+        win_calls.append(1)
+        return real_win(*a, **k)
+
+    monkeypatch.setattr(TS, 'teacher_top_scan', spy_tts)
+    monkeypatch.setattr(S, '_windowed_attention', spy_win)
+    monkeypatch.setattr(S, '_TEACHER_ATTENTION', 'auto')
+    monkeypatch.setattr(S, '_TEACHER_VJP', 'auto')
+    monkeypatch.setattr(S, '_TEACHER_WINDOWED_MIN_T', 8)   # select windowed
+    monkeypatch.setattr(S, '_TEACHER_VJP_STACK_BUDGET', 1)  # ...then decline
+    jax.clear_caches()
+    S.forward_teacher(params, config, enc, dec_in, dropout_rng=key,
+                      train=True)
+    assert not vjp_calls          # VJP declined by budget
+    assert not win_calls          # and NOT windowed autodiff: dense ran
+
+
 def test_train_step_with_manual_vjp(monkeypatch):
     """Full train_step with the manual VJP forced: per-step losses track
     the autodiff path across several optimizer steps."""
