@@ -123,11 +123,16 @@ def test_beam_converges_to_reference_with_reservoir(artifact):
     """Our fixed-shape A*-reservoir beam approaches the reference's
     unbounded best-first queue as the reservoir grows: on this weakly
     trained (tie-riding) model, byte-agreement with the reference's own
-    decode_sequence_beam rises 27/48 (auto R=32) -> 46/48 at R=256
-    (measured at recording time; asserted with slack for backend float
-    tie flips). The confident flagship needs only R=32 for 12/12
-    (tools/beam_ablation.py) — bound choice is a speed/fidelity knob
-    (models/api.py beam_reservoir), not a semantics difference."""
+    decode_sequence_beam rises 27/48 (auto R=32) -> 46/48 at R=256 and
+    SATURATES there (46/48 at R=512 and R=1024, round 4). The two
+    residual lines are fully probed (tools/artifact_beam_divergence.py
+    + committed report): not f64 flips, not gate ties — our own
+    host-f32 oracle of the reference's algorithm reproduces the
+    reference on them, so the residue is the fixed-expansion
+    reservoir's scheduling under constant near-ties, at CER parity
+    (test_beam_cer_parity). The confident flagship needs only R=32 for
+    12/12 (tools/beam_ablation.py) — bound choice is a speed/fidelity
+    knob (models/api.py beam_reservoir), not a semantics difference."""
     s2s, gold = artifact
     srcs = gold['sources']
     s2s.beam_reservoir, s2s.beam_expand = 256, 96
