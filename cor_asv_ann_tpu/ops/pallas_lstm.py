@@ -114,6 +114,13 @@ def lstm_step_auto(x, h, c, w):
     greedy argmax ties on low-margin (untrained) models. Trained models
     with confident outputs are unaffected in practice; the float32 path
     stays the parity reference."""
+    # sub-lane widths fail Mosaic lowering (same class as the decode
+    # kernel's measured w16 'unsupported shape cast'); keep the XLA
+    # step for them on hardware
+    if (jax.default_backend() in ('tpu', 'axon')
+            and w['recurrent_kernel'].shape[0] % 128 != 0):
+        from .lstm import lstm_step
+        return lstm_step(x, h, c, w)
     on_tpu = jax.default_backend() == 'tpu'
     if x.ndim > 2:
         # hypotheses-parallel callers (models/beam.py) carry (B, K, ...)
