@@ -558,7 +558,13 @@ def main():
         from cor_asv_ann_tpu.models.api import _pick_fused_bound
         ratios = {}
         for b in (16, 32, 64):
-            r = bench_fused(params, config, mapping, enc[:b])
+            try:
+                r = bench_fused(params, config, mapping, enc[:b])
+            except Exception as exc:      # noqa: BLE001 - recorded
+                result['fused_smallbatch_B%d' % b] = {
+                    'error': '%s: %s' % (type(exc).__name__,
+                                         str(exc)[:200])}
+                continue
             result['fused_smallbatch_B%d' % b] = r
             ratios[b] = r['ratio']
         result['fused_autotuned_max_b'] = _pick_fused_bound(ratios)
