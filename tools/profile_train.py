@@ -13,7 +13,6 @@ attributed to a specific stage rather than guessed.
 Usage: python tools/profile_train.py [batch] [t] [steps]
 """
 
-import functools
 import json
 import os
 import sys
