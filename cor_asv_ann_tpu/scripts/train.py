@@ -21,7 +21,7 @@ CONTEXT_SETTINGS = dict(help_option_names=['-h', '--help'])
 @click.option('--reset-encoder', is_flag=True,
               help='reset encoder weights after load/init')
 @click.option('--resume', is_flag=True,
-              help='resume from train_state.pkl in the working directory '
+              help='resume from train_state.pkl next to the model file '
                    '(params, optimizer moments, epoch counter)')
 @click.option('-w', '--width', default=128, show_default=True,
               type=click.IntRange(min=1, max=9128),
@@ -122,7 +122,10 @@ def cli(save_model, load_model, init_model, reset_encoder, resume, width,
         # train_model logs the mesh shape when it shards the params
         s2s.use_mesh(n_devices=None if mesh_devices < 0 else mesh_devices)
 
-    s2s.train(list(data), list(valdata) or None, resume=resume)
+    # checkpoints (model.ckpt.weights-*.h5 + train_state.pkl) land next
+    # to the model artifact, not in whatever CWD the CLI runs from
+    s2s.train(list(data), list(valdata) or None, resume=resume,
+              checkpoint_dir=os.path.dirname(os.path.abspath(save_model)))
     if s2s.status > 1:
         s2s.save(save_model)
 
