@@ -252,7 +252,22 @@ def train_model(s2s, filenames, val_filenames=None, checkpoint_dir='.',
     When `s2s.mesh` is set (`use_mesh()`), training runs SPMD over the
     ('data', 'model') mesh: batches sharded over 'data' (data-parallel
     gradients — XLA GSPMD inserts the psum), wide parameter matrices
-    over 'model'; optimizer state inherits the parameter shardings."""
+    over 'model'; optimizer state inherits the parameter shardings.
+    The mesh is also published to seq2seq._TRAIN_MESH for the duration
+    so the fused Pallas training scans launch per data shard
+    (shard_map) instead of falling back to the XLA scan."""
+    from . import seq2seq as _S
+    old_mesh = _S._TRAIN_MESH
+    _S._TRAIN_MESH = getattr(s2s, 'mesh', None)
+    try:
+        return _train_model_impl(s2s, filenames, val_filenames,
+                                 checkpoint_dir, resume)
+    finally:
+        _S._TRAIN_MESH = old_mesh
+
+
+def _train_model_impl(s2s, filenames, val_filenames, checkpoint_dir,
+                      resume):
     logger = s2s.logger
     num_lines = s2s.map_files(filenames)
     logger.info('Training on %d files with %d lines', len(filenames),

@@ -158,7 +158,11 @@ def _fwd_call(zx, rk, h0, c0, reverse, interpret, block_b):
     T, B, N4 = zx.shape
     N = N4 // 4
     dt = rk.dtype
-    bt = min(B, block_b)
+    # tile rows must be sublane-aligned (16 covers bf16's 16x128 tiling
+    # and f32's 8x128): an unaligned user batch (e.g. 100) pads up to
+    # one aligned tile instead of emitting unaligned Pallas blocks —
+    # the same Mosaic lowering-failure class the width%128 gate guards
+    bt = min(_round_up(B, 16), block_b)
     pad_b = _round_up(B, bt)
     if pad_b != B:
         zx = jnp.pad(zx, ((0, 0), (0, pad_b - B), (0, 0)))
@@ -237,7 +241,7 @@ def _scan_core_bwd(reverse, interpret, block_b, res, grads):
         hprev = jnp.concatenate([h0[None], hs[:-1]], axis=0)
         cprev = jnp.concatenate([c0[None], cs[:-1]], axis=0)
 
-    bt = min(B, block_b)
+    bt = min(_round_up(B, 16), block_b)  # sublane-aligned, like _fwd_call
     pad_b = _round_up(B, bt)
     if pad_b != B:
         pad = ((0, 0), (0, pad_b - B), (0, 0))
@@ -312,18 +316,28 @@ def _scan_core_bwd(reverse, interpret, block_b, res, grads):
 _scan_core.defvjp(_scan_core_fwd_vjp, _scan_core_bwd)
 
 
-def fused_scan_supported(w, batch, width):
+def fused_scan_supported(w, batch, width, mesh=None):
     """The kernel pays off when the recurrent weight block is large
     enough that keeping it VMEM-resident matters, and requires
-    MXU/VPU-aligned shapes; tiny-model tests run interpreter mode."""
+    MXU/VPU-aligned shapes; tiny-model tests run interpreter mode.
+
+    With `mesh` (a ('data', 'model') jax.sharding.Mesh), the kernel runs
+    per-data-shard under shard_map (each shard launches on its local
+    batch with the full weights), so the fit test applies to the local
+    batch. Without a mesh, multi-device GSPMD would gather the operands
+    of a pallas_call to one device — unsupported."""
     dt = w['recurrent_kernel'].dtype
     if jax.default_backend() not in ('tpu', 'axon'):
         return False
-    if jax.device_count() > 1:
+    if mesh is not None:
+        dp = mesh.shape.get('data', 1)
+        if batch % dp != 0:
+            return False
+        batch = batch // dp
+    elif jax.device_count() > 1:
         # under the GSPMD mesh (parallel/mesh.py) a pallas_call has no
         # partitioning rule — XLA would gather operands to one device;
-        # multi-chip training keeps the XLA scan until the kernel gets a
-        # shard_map wrapper
+        # multi-chip training must pass the mesh for the shard_map path
         return False
     if width % 128 != 0:
         return False
@@ -335,12 +349,29 @@ def fused_scan_supported(w, batch, width):
     return resident + 3 * streamed < 12 * 1024 * 1024
 
 
+def _scan_local(xs, w, h, c, reverse, interpret, block_b):
+    """Single-device (or single-shard) fused scan body."""
+    zx = mm(xs, w['kernel']) + w['bias']
+    zx_t = jnp.swapaxes(zx, 0, 1)
+    hs, hT, cT = _scan_core(zx_t, w['recurrent_kernel'], h, c,
+                            reverse, interpret, block_b)
+    return jnp.swapaxes(hs, 0, 1), hT, cT
+
+
 def lstm_scan_fused(xs, w, h0=None, c0=None, reverse=False, mask=None,
-                    interpret=False, block_b=256):
+                    interpret=False, block_b=256, mesh=None):
     """Drop-in for ops.lstm.lstm_scan using the whole-sequence kernel.
 
     xs (B, T, D) -> (outputs (B, T, N), hT, cT). `mask` is unsupported
     (mask_padding models fall back to the XLA scan in the caller).
+
+    With `mesh`, the launch is wrapped in `shard_map` over the 'data'
+    axis: each data shard runs its own whole-sequence launch on its
+    local batch rows with the weights replicated into the region (GSPMD
+    all-gathers tp-sharded weights once per step; the batch-tiled kernel
+    itself is unchanged). shard_map's autodiff transposes the replicated
+    weight inputs into a psum of the per-shard weight gradients — the
+    standard data-parallel gradient reduction.
     """
     assert mask is None, 'masked scan uses the XLA path'
     B, T, _ = xs.shape
@@ -348,8 +379,22 @@ def lstm_scan_fused(xs, w, h0=None, c0=None, reverse=False, mask=None,
     dt = w['recurrent_kernel'].dtype
     h = jnp.zeros((B, N), dt) if h0 is None else h0.astype(dt)
     c = jnp.zeros((B, N), dt) if c0 is None else c0.astype(dt)
-    zx = mm(xs, w['kernel']) + w['bias']
-    zx_t = jnp.swapaxes(zx, 0, 1)
-    hs, hT, cT = _scan_core(zx_t, w['recurrent_kernel'], h, c,
-                            reverse, interpret, block_b)
-    return jnp.swapaxes(hs, 0, 1), hT, cT
+    if mesh is not None and B % mesh.shape.get('data', 1) == 0 \
+            and mesh.devices.size > 1:
+        from jax.sharding import PartitionSpec as P
+        inner = functools.partial(_scan_local, reverse=reverse,
+                                  interpret=interpret, block_b=block_b)
+        specs = dict(in_specs=(P('data'), P(), P('data'), P('data')),
+                     out_specs=(P('data'), P('data'), P('data')))
+        try:
+            # check_vma off: pallas_call carries no varying-mesh-axis
+            # annotations for its outputs
+            from jax import shard_map          # jax >= 0.8
+            wrapped = shard_map(inner, mesh=mesh, check_vma=False,
+                                **specs)
+        except ImportError:                    # pragma: no cover
+            from jax.experimental.shard_map import shard_map
+            wrapped = shard_map(inner, mesh=mesh, check_rep=False,
+                                **specs)
+        return wrapped(xs, w, h, c)
+    return _scan_local(xs, w, h, c, reverse, interpret, block_b)
