@@ -422,10 +422,25 @@ def decode_beam(params, config: Seq2SeqConfig, bp: BeamParams, enc_input,
         # rejection path (seq2seq.py:1504-1506 `value == '': continue`)
         rej_ok = rej_ok & (rej_idx != 0)
         rej_oh = jax.nn.one_hot(rej_idx, V, dtype=probs.dtype)
-        rej_p = jnp.sum(probs * rej_oh, axis=-1)
+        # candidate SCORING runs in f32 even under bf16 compute: the
+        # rejection boost clamps candidates to exactly the threshold,
+        # and a bf16 clamp value (bf16(0.3)=0.30078125) would drift a
+        # clamped chain's cost by n*0.0026 vs the f32 serving path —
+        # the measured source of the bf16-vs-f32-golden beam diffs at
+        # rejection >= 0.3 (NOTES.md). With thresholds, ordering, and
+        # admission in f32, the tie structure matches f32 serving; only
+        # the model's own bf16 rounding noise remains (which greedy and
+        # the r=0 beam are measured byte-stable under). In f32 compute
+        # this is the identical arithmetic as before.
+        probs_f = probs.astype(jnp.float32)
+        rej_p = jnp.sum(probs_f * rej_oh.astype(jnp.float32), axis=-1)
         boost = rej_ok & (rej_p < bp.rejection_threshold)
-        probs_adj = jnp.where((rej_oh > 0) & boost[..., None],
-                              bp.rejection_threshold, probs)
+        clamp = (rej_oh > 0) & boost[..., None]
+        probs_adj = jnp.where(clamp, bp.rejection_threshold, probs_f)
+        # feedback copy stays in the model dtype (it re-enters the
+        # decoder step like the reference's score vector)
+        probs_adj_fb = jnp.where(
+            clamp, jnp.asarray(bp.rejection_threshold, probs.dtype), probs)
 
         # --- candidate admission --------------------------------------
         # top-C by (boosted) probability plus one dedicated slot for the
@@ -552,7 +567,7 @@ def decode_beam(params, config: Seq2SeqConfig, bp: BeamParams, enc_input,
         rec_char = s['rec_char'].at[:, t, :].set(
             jnp.where(is_old, -1, cand_of(cand_idx)))
         rec_p = s['rec_p'].at[:, t, :].set(
-            jnp.where(is_old, 0, cand_of(cand_p)))
+            jnp.where(is_old, 0, cand_of(cand_p)).astype(s['rec_p'].dtype))
         rec_ap = s['rec_ap'].at[:, t, :].set(
             jnp.where(is_old, 0, cand_of(c_center)))
         rec_arow, rec_astart = s['rec_arow'], s['rec_astart']
@@ -576,7 +591,7 @@ def decode_beam(params, config: Seq2SeqConfig, bp: BeamParams, enc_input,
 
         # feedback for new nodes: parent boosted probs with better-ranked
         # candidate maxima zeroed (seq2seq.py:1515-1520)
-        par_probs = _sel_rows(par_k, probs_adj, K)    # (B, R, V)
+        par_probs = _sel_rows(par_k, probs_adj_fb, K)  # (B, R, V)
         par_cidx = ta(cand_idx, par_k)                # (B, R, CC)
         par_valid = ta(valid, par_k)                  # (B, R, CC)
         # zero only previously *admitted* maxima (the reference zeroes
