@@ -44,7 +44,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from ..ops.lstm import mm, gate_math
+from ..ops.lstm import mm, gate_math, attention_cell_preact
 
 # scan unroll (loop-overhead amortization, same as ops.lstm._UNROLL)
 _UNROLL = 4
@@ -56,7 +56,13 @@ def _win_ix(astart, WIN, T):
 
 def _attention_fwd(top, h, aw, astart, attended, u, ww, WIN, enc_mask):
     """One windowed attention step (gather form; identical visible set
-    to seq2seq._windowed_attention). Returns (ctx f32, a, new_start)."""
+    to seq2seq._windowed_attention). Returns (ctx f32, a, new_start).
+
+    Mirrors seq2seq._windowed_attention's gather branch step-for-step
+    (t0 in f32, clip-to-[0, T-WIN] start, -1e30 mask, all-masked-row
+    zeroing, f32 context accumulation); any edit there must land here
+    too — equality is pinned by tests/test_teacher_vjp.py::
+    test_manual_vjp_forward_matches_windowed."""
     B, T, A = attended.shape
     offs = jnp.arange(WIN, dtype=jnp.float32)
     t0 = jnp.sum(aw.astype(jnp.float32)
@@ -82,37 +88,64 @@ def _attention_fwd(top, h, aw, astart, attended, u, ww, WIN, enc_mask):
 
 
 def _cell_z(top, cell_in, h, masks):
-    """Gate preactivations, mirroring _decode_teacher.cell_update's two
-    rounding disciplines exactly."""
-    W = top['cell']['recurrent_kernel'].shape[0]
-    if masks is not None:
-        kdt = top['cell']['kernel'].dtype
-        ks = [jnp.dot((cell_in * masks[g]).astype(kdt),
-                      top['cell']['kernel'][:, g * W:(g + 1) * W],
-                      preferred_element_type=jnp.float32)
-              for g in range(4)]
-        z = (jnp.concatenate(ks, axis=-1)
-             + jnp.dot(h.astype(kdt),
-                       top['cell']['recurrent_kernel'],
-                       preferred_element_type=jnp.float32)
-             ).astype(kdt) + top['cell']['bias']
-    else:
-        z = mm(cell_in, top['cell']['kernel']) \
-            + mm(h, top['cell']['recurrent_kernel']) \
-            + top['cell']['bias']
-    return z
+    """Gate preactivations — the SAME implementation _decode_teacher's
+    cell_update consumes (ops.lstm.attention_cell_preact), so the
+    manual-VJP forward cannot drift from the eval/autodiff forward."""
+    return attention_cell_preact(top['cell'], cell_in, h, masks)
 
 
-def _fwd_scan(top, xs, attended, u, h0, c0, enc_mask, masks, ww, WIN):
-    """Returns (hs, cs, aws, astarts) stacked time-major."""
+def _attention_fwd_dense(top, h, aw, astart, attended, u, ww, WIN,
+                         enc_mask):
+    """One windowed attention step computed DENSELY: full-T energies
+    streamed at HBM bandwidth (no gathers), window mask from the carried
+    (aw, astart) state, and the result re-windowed into the same
+    (aw, astart) carry the gather form produces.
+
+    Rationale (measured, NOTES.md): below T~192 the dense (B, T, W)
+    energy stream beats per-line row gathers — XLA row gathers are
+    random-access while the dense tanh streams at full bandwidth. The
+    visible position set and per-element math are identical to
+    _attention_fwd, so the reverse sweep (_tts_bwd) recomputes the same
+    windowed intermediates from the same residuals regardless of which
+    forward ran. Returns (ctx f32, aw_new, new_start)."""
+    B, T, A = attended.shape
+    offs = jnp.arange(WIN, dtype=jnp.float32)
+    t0 = jnp.sum(aw.astype(jnp.float32)
+                 * (astart[:, None].astype(jnp.float32) + offs),
+                 axis=-1) + 1.0
+    new_start = jnp.clip(jnp.floor(t0).astype(jnp.int32) - ww, 0,
+                         max(T - WIN, 0))
+    w_vec = mm(h, top['W_a']) + top['b_UW']
+    e = jnp.tanh(w_vec[:, None, :] + u)              # (B, T, W) dense
+    s_en = mm(e, top['v_a'])[..., 0] + top['b_v']    # (B, T)
+    pos = jnp.arange(T, dtype=jnp.float32)
+    visible = jnp.abs(t0[:, None] - pos[None, :]) <= ww
+    if enc_mask is not None:
+        visible = visible & (enc_mask > 0)
+    s_m = jnp.where(visible, s_en, -1e30)
+    a = jax.nn.softmax(s_m, axis=-1)
+    a = a * jnp.any(visible, axis=-1, keepdims=True)
+    ctx = jnp.sum(a.astype(jnp.float32)[:, :, None]
+                  * attended.astype(jnp.float32), axis=1)
+    win_ix = _win_ix(new_start, WIN, T)
+    aw_new = jnp.take_along_axis(a, win_ix, axis=1)
+    return ctx, aw_new, new_start
+
+
+def _fwd_scan(top, xs, attended, u, h0, c0, enc_mask, masks, ww, WIN,
+              dense=False):
+    """Returns (hs, cs, aws, astarts) stacked time-major. `dense`
+    selects the dense-streaming attention forward (same visible set and
+    residual format as the gather form; the T<192 fast path)."""
     B = xs.shape[0]
     a0 = jnp.zeros((B, WIN), attended.dtype)
     s0 = jnp.zeros((B,), jnp.int32)
+    att_step = _attention_fwd_dense if dense else _attention_fwd
 
     def body(carry, x_t):
         h, c, aw, astart = carry
-        ctx, a, new_start = _attention_fwd(top, h, aw, astart, attended,
-                                           u, ww, WIN, enc_mask)
+        ctx, a, new_start = att_step(top, h, aw, astart, attended,
+                                     u, ww, WIN, enc_mask)
         cell_in = jnp.concatenate([x_t, ctx.astype(x_t.dtype)], axis=-1)
         z = _cell_z(top, cell_in, h, masks)
         h2, c2 = gate_math(z, c)
@@ -124,31 +157,36 @@ def _fwd_scan(top, xs, attended, u, h0, c0, enc_mask, masks, ww, WIN):
     return hs, cs, aws, astarts
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
 def teacher_top_scan(top, xs, attended, u, h0, c0, enc_mask, masks,
-                     ww, WIN):
+                     ww, WIN, dense=False):
     """Teacher-forced windowed-attention top scan.
 
     top: the top decoder layer params (W_a, v_a, b_UW, b_v, cell{...});
     xs (B, Td, W): lower-stack activations; attended/u (B, T, A/W);
     h0/c0 (B, W); enc_mask: float (B, T) visibility or None; masks:
     (4, B, W+A) variational dropout multipliers or None; ww/WIN static.
+    `dense` selects the dense-streaming forward (T<192 regime) — the
+    backward is the same windowed reverse sweep either way (the window
+    mask zeroes every out-of-window gradient, so even the dense
+    forward's true cotangents touch only WIN rows per step).
     Returns hs (B, Td, W).
     """
     hs, _, _, _ = _fwd_scan(top, xs, attended, u, h0, c0, enc_mask,
-                            masks, ww, WIN)
+                            masks, ww, WIN, dense)
     return jnp.swapaxes(hs, 0, 1)
 
 
-def _tts_fwd(top, xs, attended, u, h0, c0, enc_mask, masks, ww, WIN):
+def _tts_fwd(top, xs, attended, u, h0, c0, enc_mask, masks, ww, WIN,
+             dense):
     hs, cs, aws, astarts = _fwd_scan(top, xs, attended, u, h0, c0,
-                                     enc_mask, masks, ww, WIN)
+                                     enc_mask, masks, ww, WIN, dense)
     res = (top, xs, attended, u, h0, c0, enc_mask, masks, hs, cs, aws,
            astarts)
     return jnp.swapaxes(hs, 0, 1), res
 
 
-def _tts_bwd(ww, WIN, res, g_out):
+def _tts_bwd(ww, WIN, dense, res, g_out):
     (top, xs, attended, u, h0, c0, enc_mask, masks, hs, cs, aws,
      astarts) = res
     B, T, A = attended.shape

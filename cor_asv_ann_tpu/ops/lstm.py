@@ -50,6 +50,37 @@ def lstm_step(x, h, c, w):
     return gate_math(z, c)
 
 
+def attention_cell_preact(cell, cell_in, h, masks):
+    """Gate preactivations of the top attention-LSTM cell, with optional
+    per-gate variational dropout masks (4, B, D) on the input half.
+
+    The single implementation consumed by BOTH teacher-forced forwards —
+    seq2seq._decode_teacher's eval/autodiff body and teacher_scan's
+    manual-VJP training forward — so the two cannot silently diverge
+    (their equality is pinned by tests/test_teacher_vjp.py::
+    test_manual_vjp_forward_matches_windowed). Rounding disciplines:
+    with masks, the four per-gate input matmuls and the recurrent matmul
+    accumulate in f32 and round ONCE; without, the `mm` per-product
+    rounding (reference-parity path)."""
+    if masks is not None:
+        W = cell['recurrent_kernel'].shape[0]
+        kdt = cell['kernel'].dtype
+        ks = [jnp.dot((cell_in * masks[g]).astype(kdt),
+                      cell['kernel'][:, g * W:(g + 1) * W],
+                      preferred_element_type=jnp.float32)
+              for g in range(4)]
+        z = (jnp.concatenate(ks, axis=-1)
+             + jnp.dot(h.astype(kdt),
+                       cell['recurrent_kernel'],
+                       preferred_element_type=jnp.float32)
+             ).astype(kdt) + cell['bias']
+    else:
+        z = mm(cell_in, cell['kernel']) \
+            + mm(h, cell['recurrent_kernel']) \
+            + cell['bias']
+    return z
+
+
 def lstm_scan(xs, w, h0=None, c0=None, reverse=False, mask=None):
     """Run an LSTM over xs (B, T, D). Returns (outputs (B, T, N), h, c).
 
