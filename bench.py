@@ -316,16 +316,17 @@ def bench_train(params, config, mapping, batch=256, t_enc=128, steps=8):
         lambda a: a.astype(jnp.bfloat16)
         if a.dtype == jnp.float32 else a, params)
     if fused_scan_supported(pb['decoder'][0], batch, config.width):
-        old = (S._FUSED_TRAIN_SCAN, S._TEACHER_VJP)
+        old = (S._FUSED_TRAIN_SCAN, S._TEACHER_VJP, S._TEACHER_KERNEL)
         times = {}
         # own fence: a failure in one arm (e.g. OOM at an experimental
         # shape) must not void the bf16/f32 timings already recorded
         # above — record the error instead (ADVICE r4)
         try:
-            for mode, flags in (('baseline', ('off', 'off')),
-                                ('shipped', ('auto', 'auto'))):
+            for mode, flags in (('baseline', ('off', 'off', 'off')),
+                                ('shipped', ('auto', 'auto', 'auto'))):
                 jax.clear_caches()
-                S._FUSED_TRAIN_SCAN, S._TEACHER_VJP = flags
+                (S._FUSED_TRAIN_SCAN, S._TEACHER_VJP,
+                 S._TEACHER_KERNEL) = flags
                 p = jax.tree_util.tree_map(jnp.asarray, params)
                 opt_state = opt.init(p)
                 for _ in range(2):
@@ -350,7 +351,8 @@ def bench_train(params, config, mapping, batch=256, t_enc=128, steps=8):
             result['train_rework_error'] = '%s: %s' % (
                 type(exc).__name__, str(exc)[:200])
         finally:
-            S._FUSED_TRAIN_SCAN, S._TEACHER_VJP = old
+            (S._FUSED_TRAIN_SCAN, S._TEACHER_VJP,
+             S._TEACHER_KERNEL) = old
             jax.clear_caches()
     return result
 

@@ -95,6 +95,15 @@ _FUSED_TRAIN_SCAN = 'auto'
 # shard_map instead of bailing out to the XLA scan on multi-device
 # (VERDICT r4 weak #3). Callers that flip it must clear jit caches.
 _TRAIN_MESH = None
+# Fused whole-sequence Pallas teacher scan (ops/pallas_teacher.py):
+# u/attended VMEM-resident per batch tile across ALL decoder steps, so
+# the dense per-step energy/context re-reads (8.6 GB/step-sequence at
+# the flagship shape — the teacher layer's HBM bound) disappear, and
+# the backward's (B, T, W) cotangent accumulation happens in on-chip
+# f32 accumulators instead of XLA scatter-adds. 'auto' engages for
+# training on TPU at supported shapes (teacher_fused_supported);
+# 'on' forces it (interpreter mode off-TPU, for tests); 'off' disables.
+_TEACHER_KERNEL = 'auto'
 
 
 def _train_scan(xs, w, h0=None, c0=None, reverse=False, mask=None):
@@ -427,7 +436,33 @@ def _decode_teacher(params, config, dec_input, states, attended, u,
         # T=256; OOM at B=1024) — when the VJP is off or over its stack
         # budget, train dense instead of windowed-autodiff
         use_windowed = False
-    if use_manual_vjp:
+    # fused whole-sequence Pallas teacher scan (ops/pallas_teacher.py):
+    # the TRAINING fast path at supported shapes — u/attended stay
+    # VMEM-resident across all decoder steps, the backward accumulates
+    # du/dattended in on-chip f32 blocks, and every weight gradient is
+    # one whole-sequence MXU contraction
+    use_kernel = False
+    interp = False
+    if train and _TEACHER_KERNEL != 'off' and config.window_width > 0 \
+            and enc_mask is None and _TEACHER_ATTENTION != 'dense':
+        from ..ops.pallas_teacher import teacher_fused_supported
+        if _TEACHER_KERNEL == 'on':
+            use_kernel = True
+            interp = jax.default_backend() not in ('tpu', 'axon')
+        elif teacher_fused_supported(top, B, Td, T_enc, W,
+                                     config.attended_size,
+                                     has_enc_mask=False,
+                                     mesh=_TRAIN_MESH):
+            use_kernel = True
+    if use_kernel:
+        from ..ops.pallas_teacher import teacher_top_fused, pick_bt
+        itemsize = jnp.dtype(
+            top['cell']['recurrent_kernel'].dtype).itemsize
+        bt = min(pick_bt(T_enc, W, config.attended_size, itemsize),
+                 max(8, -(-B // 8) * 8))
+        out2 = teacher_top_fused(top, out, attended, u, h0, c0, masks,
+                                 config.window_width, interp, bt)
+    elif use_manual_vjp:
         # hand-written VJP (models/teacher_scan.py): small residuals, no
         # remat, u/attended gradients assembled by one scatter-add after
         # the loop instead of per-step (B, T, W) carried buffers
