@@ -149,21 +149,41 @@ def test_beam_converges_to_reference_with_reservoir(artifact):
 def _conf_inputs(gold, kind):
     """Rebuild the conf-format call args recorded by
     tools/extend_reference_goldens.py (prob-lines: text + per-char
-    probs; confmats: chunk lists of (char, prob) alternatives)."""
+    probs; confmats: chunk lists of (char, prob) alternatives;
+    confmat_multi: chunks with MULTI-CHARACTER and empty alternatives —
+    the production format's distinctive case, reference
+    seq2seq.py:1067-1081 / transcode.py:236-277)."""
     if kind == 'probline':
         probline = gold['probline_inputs']
         lines = [''.join(ch for ch, _ in entry) for entry in probline]
         conf = [[p for _, p in entry] for entry in probline]
     else:
+        key = ('confmat_multi_inputs' if kind == 'confmat_multi'
+               else 'confmat_inputs')
         confmat = [[[tuple(alt) for alt in chunk] for chunk in entry]
-                   for entry in gold['confmat_inputs']]
+                   for entry in gold[key]]
         lines = [''.join(c[0][0] if c else '' for c in entry)
                  for entry in confmat]
         conf = confmat
     return lines, conf
 
 
-@pytest.mark.parametrize('kind', ['probline', 'confmat'])
+def test_multichar_confmat_goldens_have_special_chunks(artifact):
+    """The pinned corpus must actually exercise the multi-char case:
+    chunks whose best alternative is longer than one char (merged
+    glyphs) and chunks with empty alternatives (deleted glyphs)."""
+    _, gold = artifact
+    if 'confmat_multi_inputs' not in gold:
+        pytest.skip('multichar goldens missing (pre-round-5 file)')
+    cm = gold['confmat_multi_inputs']
+    n_long = sum(1 for e in cm for c in e if len(c[0][0]) > 1)
+    n_empty = sum(1 for e in cm for c in e
+                  if any(a[0] == '' for a in c))
+    assert n_long >= 20 and n_empty >= 10, (n_long, n_empty)
+
+
+@pytest.mark.parametrize('kind', ['probline', 'confmat',
+                                  'confmat_multi'])
 def test_greedy_conf_formats_match_reference(artifact, kind):
     """Cross-implementation byte-parity on the PRODUCTION input formats:
     probability lines and confusion networks (the OCR-D processor path,
@@ -188,7 +208,8 @@ def test_greedy_conf_formats_match_reference(artifact, kind):
     assert max(abs(s - r) for s, r in pairs) < 5e-3
 
 
-@pytest.mark.parametrize('kind', ['probline', 'confmat'])
+@pytest.mark.parametrize('kind', ['probline', 'confmat',
+                                  'confmat_multi'])
 def test_beam_conf_formats_cer_parity(artifact, kind):
     """Beamed decode on conf-format inputs: CER within a few percent of
     the reference's own beam and majority byte agreement (adaptive auto

@@ -58,6 +58,52 @@ def build_conf_inputs(sources, seed=4243):
     return probline, confmat
 
 
+def build_multichar_confmat(sources, seed=4244):
+    """Confusion networks with MULTI-CHARACTER chunks — the production
+    format's distinctive case (reference seq2seq.py:1067-1081: each
+    chunk occupies max(len(alt)) timesteps, every alternative's chars
+    placed at the chunk's base offset with its own confidence;
+    produced by transcode.py:236-277 for merged/empty glyphs).
+
+    To keep the artifact's static encoder length, chunk widths still
+    sum to len(text): a "merged-glyph" chunk covers TWO source chars
+    with a 2-char best alternative (plus a shorter 1-char alternative —
+    alternatives of differing length inside one chunk), and some
+    single-char chunks carry an EMPTY alternative (deleted glyph,
+    zero-width)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    confmat = []
+    for text in sources:
+        chunks = []
+        i = 0
+        while i < len(text):
+            ch = text[i]
+            nxt = text[i + 1] if i + 1 < len(text) else None
+            r = rng.random()
+            if (nxt and ch.isalpha() and nxt.isalpha() and r < 0.25):
+                # merged chunk: 2-char best alternative spanning two
+                # timesteps + a 1-char (shorter) alternative
+                alts = [(ch + nxt,
+                         float(round(rng.uniform(0.5, 0.9), 3))),
+                        (ch, float(round(rng.uniform(0.05, 0.3), 3)))]
+                chunks.append(alts)
+                i += 2
+            elif ch.isalpha() and r > 0.88:
+                # single-char chunk with an empty (deleted) alternative
+                alts = [(ch, float(round(rng.uniform(0.6, 0.95), 3))),
+                        ('', float(round(rng.uniform(0.05, 0.2), 3)))]
+                chunks.append(alts)
+                i += 1
+            else:
+                chunks.append(
+                    [(ch, float(round(rng.uniform(0.6, 1.0), 3)))])
+                i += 1
+        confmat.append(chunks)
+    return confmat
+
+
 def main():
     sys.path.insert(0, REPO)
     sys.path.insert(0, os.path.join(REPO, 'tests'))
@@ -78,12 +124,21 @@ def main():
         setattr(s2s, k, v)
     s2s.batch_size = 256   # beam fringe bound, reference default
 
+    confmat_multi = build_multichar_confmat(sources)
+    n_multi = sum(sum(1 for c in entry
+                      if any(len(a[0]) != 1 for a in c))
+                  for entry in confmat_multi)
+    assert n_multi > 0, 'multichar builder produced no special chunks'
+    print('confmat_multi: %d merged/empty chunks over %d lines'
+          % (n_multi, len(confmat_multi)), flush=True)
+
     results = {}
     for kind, conf in (('probline', [[p for _, p in e] for e in probline]),
-                       ('confmat', confmat)):
+                       ('confmat', confmat),
+                       ('confmat_multi', confmat_multi)):
         lines = (sources if kind == 'probline' else
                  [''.join(c[0][0] if c else '' for c in entry)
-                  for entry in confmat])
+                  for entry in conf])
         out_g, _, sc_g, _ = s2s.correct_lines(
             list(lines), conf=conf, fast=True, greedy=True)
         print('reference greedy %s done' % kind, flush=True)
@@ -99,6 +154,7 @@ def main():
 
     gold['probline_inputs'] = probline
     gold['confmat_inputs'] = confmat
+    gold['confmat_multi_inputs'] = confmat_multi
     gold['conf_inputs_seed'] = 4243
     gold.update(results)
     with open(GOLDENS, 'w') as f:
