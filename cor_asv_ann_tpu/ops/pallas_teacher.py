@@ -628,9 +628,12 @@ def teacher_fused_supported(top, B, Td, T, W, A, has_enc_mask,
         return False
     itemsize = jnp.dtype(top['cell']['recurrent_kernel'].dtype).itemsize
     # backward stacks: zs residual + dz + ds/dctx/dwvec + hs/cs/aa
+    # (HBM, not VMEM — ~3 GB at B=1024/T=128 bf16, fine on the 16 GB
+    # chip next to params/optimizer/batch; measured engaged and faster
+    # there, see NOTES round 5)
     stack_bytes = (Td * B * 4 * W * 2 * itemsize
                    + Td * B * (T + A + 3 * W + T) * itemsize
                    + 2 * B * T * (W + A) * 4)
-    if stack_bytes > 2_500 * 1024 * 1024:
+    if stack_bytes > 6_000 * 1024 * 1024:
         return False
     return pick_bt(T, W, A, itemsize) >= 16
