@@ -539,13 +539,20 @@ def main():
         result['train'].pop('mfu_bf16', None)  # meaningless off-TPU
     else:
         # each auxiliary point is fenced: a failure (e.g. an OOM at an
-        # experimental shape) is recorded instead of killing the run
+        # experimental shape) is recorded instead of killing the run.
+        # One retry: the tunnel's remote compile-helper intermittently
+        # 500s under concurrent Mosaic compiles (env race, NOTES r5) —
+        # a fresh attempt with cleared caches usually lands
         def fenced(name, fn):
-            try:
-                result[name] = fn()
-            except Exception as exc:       # noqa: BLE001 - recorded
-                result[name] = {'error': '%s: %s' % (
-                    type(exc).__name__, str(exc)[:200])}
+            for attempt in (0, 1):
+                try:
+                    result[name] = fn()
+                    return
+                except Exception as exc:   # noqa: BLE001 - recorded
+                    result[name] = {'error': '%s: %s' % (
+                        type(exc).__name__, str(exc)[:200])}
+                    import jax as _jax
+                    _jax.clear_caches()
 
         fenced('train', lambda: bench_train(params, config, mapping))
 
@@ -606,6 +613,10 @@ def main():
         'train_step_ms_bf16': train.get('step_ms_bf16'),
         'train_mfu_bf16': train.get('mfu_bf16'),
         'train_rework_ratio': train.get('train_rework_ratio'),
+        'train_B1024_ms': (result.get('train_B1024') or {}).get(
+            'step_ms_bf16'),
+        'train_B1024_mfu': (result.get('train_B1024') or {}).get(
+            'mfu_bf16'),
         'fused_autotuned_max_b': result.get('fused_autotuned_max_b'),
     }
     if cpu_fallback:

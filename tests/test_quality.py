@@ -159,8 +159,11 @@ def test_golden_corpus(flagship):
                for entry in inputs['confmat']]
     probline = [[tuple(pair) for pair in entry]
                 for entry in inputs['probline']]
+    confmat_multi = ([[[tuple(alt) for alt in chunk] for chunk in entry]
+                      for entry in inputs['confmat_multi']]
+                     if 'confmat_multi' in inputs else None)
     results = recorder.decode_all(flagship, inputs['plain'], probline,
-                                  confmat)
+                                  confmat, confmat_multi)
     for name, got in results.items():
         want = golden['modes'][name]
         diffs = [(a, b) for a, b in zip(got['output'], want['output'])

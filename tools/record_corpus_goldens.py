@@ -58,23 +58,56 @@ def build_inputs():
                                  float(round(rng.uniform(0.05, 0.4), 3))))
             chunks.append(alts)
         confmat.append(chunks)
-    return plain, probline, confmat
+
+    # multi-character chunks — the production format's distinctive case
+    # (reference seq2seq.py:1067-1081; merged/empty glyphs from
+    # transcode.py:236-277): 2-char best alternatives spanning two
+    # timesteps, shorter-than-max alternatives, empty (deleted-glyph)
+    # alternatives
+    confmat_multi = []
+    for src, _ in make_pairs(N_CONF, seed=107):
+        text = src + '\n'
+        chunks = []
+        i = 0
+        while i < len(text):
+            ch = text[i]
+            nxt = text[i + 1] if i + 1 < len(text) else None
+            r = rng.random()
+            if nxt and ch.isalpha() and nxt.isalpha() and r < 0.25:
+                chunks.append(
+                    [(ch + nxt, float(round(rng.uniform(0.5, 0.9), 3))),
+                     (ch, float(round(rng.uniform(0.05, 0.3), 3)))])
+                i += 2
+            elif ch.isalpha() and r > 0.88:
+                chunks.append(
+                    [(ch, float(round(rng.uniform(0.6, 0.95), 3))),
+                     ('', float(round(rng.uniform(0.05, 0.2), 3)))])
+                i += 1
+            else:
+                chunks.append(
+                    [(ch, float(round(rng.uniform(0.6, 1.0), 3)))])
+                i += 1
+        confmat_multi.append(chunks)
+    return plain, probline, confmat, confmat_multi
 
 
 MODES = [
-    # name, kind (plain|probline|confmat), fast/greedy, rejection
+    # name, kind (plain|probline|confmat|confmat_multi), fast/greedy,
+    # rejection
     ('greedy_plain', 'plain', True, 0.3),
     ('greedy_probline', 'probline', True, 0.3),
     ('greedy_confmat', 'confmat', True, 0.3),
+    ('greedy_confmat_multi', 'confmat_multi', True, 0.3),
     ('beam_r00_plain', 'plain', False, 0.0),
     ('beam_r03_plain', 'plain', False, 0.3),
     ('beam_r03_probline', 'probline', False, 0.3),
     ('beam_r03_confmat', 'confmat', False, 0.3),
+    ('beam_r03_confmat_multi', 'confmat_multi', False, 0.3),
     ('beam_r05_plain', 'plain', False, 0.5),
 ]
 
 
-def decode_all(s2s, plain, probline, confmat):
+def decode_all(s2s, plain, probline, confmat, confmat_multi=None):
     results = {}
     for name, kind, greedy, rejection in MODES:
         if kind == 'plain':
@@ -83,9 +116,12 @@ def decode_all(s2s, plain, probline, confmat):
             lines = [''.join(ch for ch, _ in entry) for entry in probline]
             conf = [[p for _, p in entry] for entry in probline]
         else:
+            cm = confmat_multi if kind == 'confmat_multi' else confmat
+            if cm is None:
+                continue          # pre-round-5 fixture without multi
             lines = [''.join(chunk[0][0] if chunk else ''
-                             for chunk in entry) for entry in confmat]
-            conf = confmat
+                             for chunk in entry) for entry in cm]
+            conf = cm
         s2s.rejection_threshold = rejection
         out, _, scores, _ = s2s.correct_lines(
             lines, conf=conf, fast=greedy, greedy=greedy,
@@ -105,12 +141,13 @@ def main():
         pass
     from cor_asv_ann_tpu.models.api import Sequence2Sequence
 
-    plain, probline, confmat = build_inputs()
+    plain, probline, confmat, confmat_multi = build_inputs()
     s2s = Sequence2Sequence()
     s2s.load_config(FLAGSHIP)
     s2s.configure()
     s2s.load_weights(FLAGSHIP)
-    results = decode_all(s2s, plain, probline, confmat)
+    results = decode_all(s2s, plain, probline, confmat,
+                         confmat_multi)
 
     if '--check' in sys.argv:
         with open(GOLDEN) as f:
@@ -125,7 +162,8 @@ def main():
 
     payload = {
         'inputs': {'plain': plain, 'probline': probline,
-                   'confmat': confmat},
+                   'confmat': confmat,
+                   'confmat_multi': confmat_multi},
         'modes': results,
     }
     with open(GOLDEN, 'w') as f:
