@@ -455,13 +455,23 @@ def _decode_teacher(params, config, dec_input, states, attended, u,
                                      mesh=_TRAIN_MESH):
             use_kernel = True
     if use_kernel:
-        from ..ops.pallas_teacher import teacher_top_fused, pick_bt
+        from ..ops.pallas_teacher import (teacher_top_fused,
+                                          teacher_top_fused_sharded,
+                                          pick_bt)
         itemsize = jnp.dtype(
             top['cell']['recurrent_kernel'].dtype).itemsize
+        b_local = (B // _TRAIN_MESH.shape.get('data', 1)
+                   if _TRAIN_MESH is not None else B)
         bt = min(pick_bt(T_enc, W, config.attended_size, itemsize),
-                 max(8, -(-B // 8) * 8))
-        out2 = teacher_top_fused(top, out, attended, u, h0, c0, masks,
-                                 config.window_width, interp, bt)
+                 max(8, -(-b_local // 8) * 8))
+        if _TRAIN_MESH is not None:
+            out2 = teacher_top_fused_sharded(
+                top, out, attended, u, h0, c0, masks,
+                config.window_width, interp, bt, _TRAIN_MESH)
+        else:
+            out2 = teacher_top_fused(top, out, attended, u, h0, c0,
+                                     masks, config.window_width, interp,
+                                     bt)
     elif use_manual_vjp:
         # hand-written VJP (models/teacher_scan.py): small residuals, no
         # remat, u/attended gradients assembled by one scatter-add after

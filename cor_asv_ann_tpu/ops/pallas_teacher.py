@@ -612,17 +612,58 @@ def _tf_bwd(ww, interpret, bt, res, g_out):
 teacher_top_fused.defvjp(_tf_fwd, _tf_bwd)
 
 
+def teacher_top_fused_sharded(top, xs, attended, u, h0, c0, masks, ww,
+                              interpret, bt, mesh):
+    """teacher_top_fused under shard_map over the mesh's 'data' axis:
+    each data shard runs the full fused scan on its local batch rows
+    with the (possibly tp-sharded) weights gathered into the region;
+    shard_map's transpose psums the per-shard weight gradients — the
+    same wrapper pattern as ops.pallas_lstm_train.lstm_scan_fused."""
+    from jax.sharding import PartitionSpec as P
+    if masks is None:
+        def inner(top, xs, attended, u, h0, c0):
+            return teacher_top_fused(top, xs, attended, u, h0, c0,
+                                     None, ww, interpret, bt)
+        in_specs = (P(), P('data'), P('data'), P('data'), P('data'),
+                    P('data'))
+        args = (top, xs, attended, u, h0, c0)
+    else:
+        def inner(top, xs, attended, u, h0, c0, masks):
+            return teacher_top_fused(top, xs, attended, u, h0, c0,
+                                     masks, ww, interpret, bt)
+        in_specs = (P(), P('data'), P('data'), P('data'), P('data'),
+                    P('data'), P(None, 'data'))
+        args = (top, xs, attended, u, h0, c0, masks)
+    try:
+        from jax import shard_map              # jax >= 0.8
+        wrapped = shard_map(inner, mesh=mesh, in_specs=in_specs,
+                            out_specs=P('data'), check_vma=False)
+    except ImportError:                        # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+        wrapped = shard_map(inner, mesh=mesh, in_specs=in_specs,
+                            out_specs=P('data'), check_rep=False)
+    return wrapped(*args)
+
+
 def teacher_fused_supported(top, B, Td, T, W, A, has_enc_mask,
                             mesh=None):
     """Engagement test for the fused teacher scan: TPU backend,
     MXU-aligned widths, chunkable T, no padding mask (the kernels apply
-    the window mask only), and a bounded backward working set (the f32
-    zx recompute + stacks; very large B falls back to dense autodiff,
-    which remat handles)."""
+    the window mask only), and a bounded backward working set (stacks
+    are HBM-resident; very large B falls back to dense autodiff, which
+    remat handles). With `mesh`, the kernel runs per data shard under
+    shard_map (teacher_top_fused_sharded), so the shard-local batch is
+    what must divide and budget."""
     if jax.default_backend() not in ('tpu', 'axon'):
         return False
-    if mesh is not None or jax.device_count() > 1:
-        # no shard_map wrapper yet: GSPMD would gather pallas operands
+    if mesh is not None:
+        dp = mesh.shape.get('data', 1)
+        if B % dp != 0:
+            return False
+        B = B // dp
+    elif jax.device_count() > 1:
+        # multi-device without a declared mesh: GSPMD would gather the
+        # pallas operands to one device
         return False
     if has_enc_mask or W % 128 or A % 128 or T % 8:
         return False

@@ -162,6 +162,54 @@ def test_fused_scan_shard_map_gradient_parity():
                                    rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8, reason='needs 8 devices')
+def test_teacher_kernel_shard_map_parity():
+    """The fused teacher scan under the ('data','model') mesh
+    (teacher_top_fused_sharded): forward and gradients match the
+    unsharded kernel. Interpreter mode on the virtual CPU mesh."""
+    import jax.numpy as jnp
+    from cor_asv_ann_tpu.ops.pallas_teacher import (
+        teacher_top_fused, teacher_top_fused_sharded)
+
+    mesh = M.make_mesh(8)
+    W = A = 128
+    B, Td, T, ww = 8, 5, 16, 5
+    rng = np.random.default_rng(4)
+
+    def f(*s):
+        return jnp.asarray(rng.normal(0, 0.18, s), jnp.float32)
+
+    top = {'W_a': f(W, W), 'v_a': f(W, 1), 'b_UW': f(W), 'b_v': f(1),
+           'cell': {'kernel': f(W + A, 4 * W),
+                    'recurrent_kernel': f(W, 4 * W), 'bias': f(4 * W)}}
+    xs, att, u = f(B, Td, W), f(B, T, A), f(B, T, W)
+    h0, c0 = f(B, W), f(B, W)
+
+    def loss_plain(top, xs, att, u, h0, c0):
+        return jnp.sum(teacher_top_fused(top, xs, att, u, h0, c0, None,
+                                         ww, True, 8) ** 2)
+
+    def loss_sharded(top, xs, att, u, h0, c0):
+        return jnp.sum(teacher_top_fused_sharded(
+            top, xs, att, u, h0, c0, None, ww, True,
+            B // mesh.shape['data'], mesh) ** 2)
+
+    l_ref, g_ref = jax.value_and_grad(
+        loss_plain, argnums=(0, 1))(top, xs, att, u, h0, c0)
+    top_sh = M.shard_params(top, mesh)
+    xs_sh, att_sh, u_sh, h0_sh, c0_sh = M.shard_batch(
+        (xs, att, u, h0, c0), mesh)
+    with mesh:
+        l_s, g_s = jax.jit(jax.value_and_grad(
+            loss_sharded, argnums=(0, 1)))(top_sh, xs_sh, att_sh, u_sh,
+                                           h0_sh, c0_sh)
+    np.testing.assert_allclose(float(l_s), float(l_ref), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g_s),
+                    jax.tree_util.tree_leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
 def test_api_mesh_training(tmp_path):
     """train() over a mesh: batches dp-sharded, params tp-sharded; the
     loop runs end-to-end and produces a trained, saveable model. Works
