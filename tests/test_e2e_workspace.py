@@ -135,6 +135,73 @@ def test_transcode_workspace(toy_model_file, tmp_path, level, fast):
                             (w.get_text() or '')
 
 
+def build_merged_glyph_workspace(tmp_path):
+    """A page exercising the confmat format's distinctive glyph cases
+    (reference transcode.py:236-277): a MERGED glyph whose text spans
+    two characters, an EMPTY glyph (OCR rejection -> GAP char), and a
+    glyph with a second, differing-length alternative."""
+    ws = make_workspace(str(tmp_path / 'wsm'), ['p1'])
+    doc = P.new_page()
+    region = P.add_region(doc, 'r1')
+    line = P.add_line(region, 'l1', points=[(0, 0), (200, 18)])
+    word = P.add_word(line, 'w1', points=[(0, 0), (120, 18)])
+    specs = [('a', None), ('bc', 'b'), ('', None), ('d', 'a')]
+    for gi, (text, alt) in enumerate(specs):
+        glyph = P.add_glyph(word, f'g{gi + 1}',
+                            points=[(gi * 30, 0), (gi * 30 + 28, 18)])
+        glyph.add_textequiv(text, conf=0.8)
+        if alt is not None:
+            glyph.add_textequiv(alt, conf=0.3)
+    word.add_textequiv('abcd', conf=0.8)
+    line.add_textequiv('abcd', conf=0.8)
+    ws.add_file('OCR', 'p1', doc.to_bytes())
+    ws.save()
+    return ws
+
+
+@pytest.mark.parametrize('fast', [True, False])
+def test_transcode_merged_and_empty_glyphs(toy_model_file, tmp_path,
+                                           fast):
+    """End-to-end glyph-level correction over merged/empty glyphs: the
+    confmat fed to the model must contain a multi-char chunk and a
+    GAP-char chunk (reference seq2seq.py:1067-1081 placement), and the
+    corrected PAGE output must hold the usual consistency invariants."""
+    from cor_asv_ann_tpu.utils.data import GAP
+    from cor_asv_ann_tpu.wrapper import transcode as TC
+
+    ws = build_merged_glyph_workspace(tmp_path)
+    doc = P.parse_page(ws.page_files('OCR')['p1'].path)
+    seqs = TC._page_get_line_sequences_at('glyph', doc)
+    lines, _ = TC._line_sequences2confmat_sequences({'a': 1}, seqs)
+    chunks = lines[0]
+    assert any(len(alt[0]) > 1 for chunk in chunks for alt in chunk), \
+        'no multi-char alternative in the confmat'
+    assert any(alt[0] == GAP for chunk in chunks for alt in chunk), \
+        'empty glyph did not become the GAP char'
+    assert any(len({len(a[0]) for a in chunk}) > 1
+               for chunk in chunks), 'no differing-length alternatives'
+
+    proc = ANNCorrection(parameter={
+        'model_file': toy_model_file,
+        'textequiv_level': 'glyph',
+        'fast_mode': fast,
+        'rejection_threshold': 0.1,
+    })
+    proc.process_workspace(ws, ['OCR'], 'COR')
+    out = P.parse_page(ws.page_files('COR')['p1'].path)
+    (line,) = out.get_lines()
+    assert line.get_text()
+    words = line.get_words()
+    assert ' '.join(w.get_text() or '' for w in words) == line.get_text()
+    for w in words:
+        glyphs = w.get_glyphs()
+        if glyphs:
+            assert ''.join(g.get_text() or '' for g in glyphs) == \
+                (w.get_text() or '')
+            for g in glyphs:
+                assert GAP not in (g.get_text() or '')
+
+
 def test_transcode_deployment_modes(toy_model_file, tmp_path):
     """The trained-model correction chain through the deployment
     runtime (wrapper/server.py + utils/mets_server.py): a processor
