@@ -26,6 +26,16 @@ from cor_asv_ann_tpu.ops.lstm import gate_math, attention_cell_preact
 WW = 5
 
 
+@pytest.fixture(autouse=True)
+def _exact_f32_matmuls():
+    """On the real TPU, default-precision f32 matmuls run as bf16 MXU
+    passes, so two differently-factored computations drift past the
+    CPU-tight parity tolerances; HIGHEST restores exact f32 products in
+    both the kernel and the XLA reference (no-op on the CPU backend)."""
+    with jax.default_matmul_precision('highest'):
+        yield
+
+
 def _setup(seed=0, B=5, Td=9, T=16, W=128, A=128, scale=0.18):
     rng = np.random.default_rng(seed)
 
