@@ -266,7 +266,13 @@ def bench_train(params, config, mapping, batch=256, t_enc=128, steps=8):
         flops = train_flops_estimate(config.width, V, t_enc,
                                      t_enc + 1, batch)
         flops_cost_model = None
-        try:
+
+        def cost_model_flops():
+            # runs AFTER the timed arms: the informational AOT
+            # lower().compile() intermittently fails on the tunnel's
+            # compile helper at large shapes and must not poison the
+            # measurement path (B=1024 lost its data point twice to
+            # this ordering in round 5)
             comp = T.train_step.lower(
                 p, opt_state, config, enc_d, din_d, dout_d, w_d, key,
                 lm_loss=False, optimizer=opt, compute_dtype=cdt).compile()
@@ -274,9 +280,8 @@ def bench_train(params, config, mapping, batch=256, t_enc=128, steps=8):
             if isinstance(ca, (list, tuple)):
                 ca = ca[0]
             if ca and ca.get('flops', 0) > 0:
-                flops_cost_model = float(ca['flops'])
-        except Exception:
-            pass
+                return float(ca['flops'])
+            return None
         # compile + warm
         for _ in range(2):
             p, opt_state, loss = T.train_step(
@@ -291,6 +296,10 @@ def bench_train(params, config, mapping, batch=256, t_enc=128, steps=8):
         float(loss)
         dt = (time.perf_counter() - t0) / steps
         result['step_ms_%s' % name] = round(dt * 1e3, 2)
+        try:
+            flops_cost_model = cost_model_flops()
+        except Exception:
+            flops_cost_model = None
         if name == 'bf16':
             # v5e peak: 197 TFLOP/s bf16
             result['mfu_bf16'] = round(flops / dt / 197e12, 4)
