@@ -591,7 +591,8 @@ def main():
                 continue
             result['fused_smallbatch_B%d' % b] = r
             ratios[b] = r['ratio']
-        result['fused_autotuned_max_b'] = _pick_fused_bound(ratios)
+        (result['fused_autotuned_min_b'],
+         result['fused_autotuned_max_b']) = _pick_fused_bound(ratios)
         # large-batch training point: remat makes B=1024/T=128 trainable
         # (README.md); bigger per-step matmuls amortize the sequential
         # scan-step latency that bounds MFU at B=256

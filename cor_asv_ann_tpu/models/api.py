@@ -46,24 +46,44 @@ WINDOWED_DECODE_MIN_T = 128
 
 
 def _pick_fused_bound(ratios, floor=16):
-    """Choose the fused-decode dispatch bound from measured fused/XLA
-    throughput ratios per batch size: the largest batch such that every
-    measured batch up to it won (ratio >= 1.0) — the dispatched regime
-    is then >=1.0x by construction on the measuring device. Batches
-    below `floor` are assumed winning only when UNMEASURED (the B<=16
-    win is stable across sessions, NOTES.md) — a measured loss at or
-    below the floor disables fused dispatch entirely for the session
-    (returns 0): measurement always outranks the assumption."""
-    best = floor
-    for b in sorted(ratios):
+    """Choose the fused-decode dispatch WINDOW (min_b, max_b) from
+    measured fused/XLA throughput ratios per batch size: the longest
+    contiguous run of measured wins (ratio >= 1.0; ties resolved toward
+    larger batches) — the dispatched regime is then >=1.0x by
+    construction on the measuring device. When the run includes the
+    smallest measured batch and that batch is within `floor`, the
+    window extends down to 1 (the B<=16 win is stable across sessions,
+    NOTES.md, and smaller batches are unmeasured); a measured loss at
+    the small end instead RAISES the window's lower bound, so e.g. a
+    day where B=16 loses but B=32-64 win keeps the 32-64 regime fused
+    (round 5 — the old scalar bound discarded those wins). No measured
+    wins at all -> (0, 0) (fused dispatch off); no measurements -> the
+    static default window (1, floor)."""
+    bs = sorted(ratios)
+    if not bs:
+        return 1, floor
+    runs, cur = [], []
+    for b in bs:
         if ratios[b] >= 1.0:
-            if b > best:
-                best = b
-        elif b <= floor:
-            return 0
+            cur.append(b)
         else:
-            break
-    return best
+            if cur:
+                runs.append(cur)
+            cur = []
+    if cur:
+        runs.append(cur)
+    if not runs:
+        # the sub-floor assumption survives only when nothing at or
+        # below the floor was measured losing
+        return (1, floor) if bs[0] > floor else (0, 0)
+    # prefer the longest run; ties resolve first toward the run that
+    # anchors the stable small-batch regime, then toward larger batches
+    best = max(runs, key=lambda r: (len(r),
+                                    r[0] == bs[0] and r[0] <= floor,
+                                    r[-1]))
+    if best[0] == bs[0] and best[0] <= floor:
+        return 1, max(best[-1], floor)
+    return best[0], best[-1]
 
 
 def _pack_results(idx, prob, length, score):
@@ -133,6 +153,10 @@ class Sequence2Sequence:
         # (ops/pallas_decode_loop.py FUSED_DECODE_MAX_B)
         self.fused_decode = True
         self.fused_decode_max_b = FUSED_DECODE_MAX_B
+        # lower edge of the fused-decode dispatch window: raised by
+        # autotune_fused_decode when small batches measure losing while
+        # larger ones win (_pick_fused_bound)
+        self.fused_decode_min_b = 1
         # training compute dtype: None/'float32' or 'bfloat16' (mixed
         # precision: bf16 forward/backward, float32 masters)
         self.train_compute = None
@@ -580,8 +604,11 @@ class Sequence2Sequence:
                 lambda e: decode_greedy_fused(params, self.config, e,
                                               newline), enc)
             ratios[int(b)] = round(dt_xla / dt_fused, 3)
-        self.fused_decode_max_b = _pick_fused_bound(ratios)
-        result = {'ratios': ratios, 'chosen': self.fused_decode_max_b}
+        (self.fused_decode_min_b,
+         self.fused_decode_max_b) = _pick_fused_bound(ratios)
+        result = {'ratios': ratios,
+                  'chosen': (self.fused_decode_min_b,
+                             self.fused_decode_max_b)}
         self.logger.info('fused-decode autotune: %s', result)
         return result
 
@@ -626,7 +653,8 @@ class Sequence2Sequence:
         if greedy:
             if (self.fused_decode and not return_alignments
                     and self.mesh is None
-                    and enc.shape[0] <= self.fused_decode_max_b
+                    and self.fused_decode_min_b <= enc.shape[0]
+                    <= self.fused_decode_max_b
                     and fused_greedy_supported(params, self.config, T)):
                 # small-batch bf16 serving: the whole decode loop in one
                 # Pallas kernel, weights resident in VMEM across steps

@@ -95,19 +95,23 @@ def test_fused_supported_gate():
 
 
 def test_pick_fused_bound():
-    """The autotune bound is the largest batch with a contiguous
-    measured win; losses above the floor stop the search; the B<=16
-    floor holds even without measurements (models/api.py)."""
+    """The autotune picks a (min, max) dispatch WINDOW — the longest
+    contiguous run of measured wins; the B<=16 floor holds when the
+    small end is unmeasured or winning; a small-end loss raises the
+    window's lower bound instead of discarding larger wins
+    (models/api.py)."""
     from cor_asv_ann_tpu.models.api import _pick_fused_bound
-    assert _pick_fused_bound({16: 1.2, 32: 1.1, 64: 1.15}) == 64
-    assert _pick_fused_bound({16: 1.2, 32: 0.9, 64: 1.15}) == 16
-    assert _pick_fused_bound({16: 1.2, 32: 1.05, 64: 0.8}) == 32
-    assert _pick_fused_bound({}) == 16
-    assert _pick_fused_bound({64: 0.5}) == 16
-    # a measured loss AT the floor disables fused dispatch entirely —
-    # measurement outranks the unmeasured-floor assumption
-    assert _pick_fused_bound({16: 0.42, 32: 0.76, 64: 0.94}) == 0
-    assert _pick_fused_bound({16: 0.9, 32: 1.2}) == 0
+    assert _pick_fused_bound({16: 1.2, 32: 1.1, 64: 1.15}) == (1, 64)
+    assert _pick_fused_bound({16: 1.2, 32: 0.9, 64: 1.15}) == (1, 16)
+    assert _pick_fused_bound({16: 1.2, 32: 1.05, 64: 0.8}) == (1, 32)
+    assert _pick_fused_bound({}) == (1, 16)
+    assert _pick_fused_bound({64: 0.5}) == (1, 16)
+    # a measured loss AT the floor: the sub-floor assumption dies, but
+    # contiguous wins above it stay dispatched (round 5: the scalar
+    # bound used to discard the 32-64 wins on a B=16-losing day)
+    assert _pick_fused_bound({16: 0.42, 32: 0.76, 64: 0.94}) == (0, 0)
+    assert _pick_fused_bound({16: 0.9, 32: 1.2}) == (32, 32)
+    assert _pick_fused_bound({16: 0.93, 32: 1.13, 64: 1.08}) == (32, 64)
 
 
 def test_autotune_unsupported_returns_none():
